@@ -1,0 +1,25 @@
+"""deep_spectral_tpu: a TPU-native (JAX/XLA/Pallas/pjit) framework for deep spectral
+unsupervised segmentation and localization.
+
+Re-implements, TPU-first, the full capability surface of
+lukemelas/deep-spectral-segmentation (CVPR 2022 "Deep Spectral Methods"):
+
+  * dense self-supervised ViT (DINO) patch-feature extraction
+    (reference: extract/extract.py:21-116)
+  * per-image affinity graphs + generalized Laplacian eigendecomposition
+    (reference: extract/extract.py:119-244), here a fused, batched, on-device kernel
+  * multi/single-region segmentation, bbox discovery, dataset-wide clustering,
+    semantic segmaps, dense-CRF refinement (reference: extract/extract.py:283-735)
+  * object localization (CorLoc), object segmentation (IoU/F-max), semantic
+    segmentation (Hungarian-matched mIoU) evals and DeepLab self-training
+    (reference: object-localization/, object-segmentation/, semantic-segmentation/)
+
+Design: everything numerical is a pure, jit-able JAX function batched with vmap and
+sharded with pjit over a `jax.sharding.Mesh`; image IO and file layout live at the
+edges and remain byte-compatible with the reference's on-disk interface
+(`<id>.pth` feature/eig dicts, `.png` segmaps).
+"""
+
+__version__ = "0.1.0"
+
+from . import ops, utils  # noqa: F401

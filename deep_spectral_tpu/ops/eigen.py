@@ -1,0 +1,223 @@
+"""Batched graph eigensolvers — the numerical core of the framework.
+
+The reference solves, per image and on the host, the generalized symmetric
+eigenproblem (D - W) x = lam D x for the K smallest eigenpairs with ARPACK
+shift-invert (reference: extract/extract.py:227-234). That is a sequential,
+Fortran, one-image-at-a-time path. TPU-first redesign:
+
+    whiten:  A = I - D^{-1/2} W D^{-1/2}    (symmetric, same spectrum)
+    solve:   full dense `eigh` on A, batched over images with `vmap`
+    unwhiten: x = D^{-1/2} v  (gives x^T D x = 1, exactly ARPACK's M-normalization)
+
+For the graph sizes this pipeline produces (N = H_patch*W_patch ~ 400-4000), a
+batched dense eigh on the MXU beats per-image ARPACK by orders of magnitude in
+throughput, and returns bit-stable results (no Lanczos restarts / random starts).
+For very large graphs (matting-laplacian at low downsample factors) use
+`deep_spectral_tpu.parallel.lobpcg` which shards the matvec over the device mesh.
+
+Padding contract: a `mask` marks valid nodes. Padded rows/cols of W are zeroed and
+the padded diagonal of the whitened operator is set above the Gershgorin bound of
+the valid block, so padded eigenpairs sort strictly after all valid ones and
+slicing the smallest K is unaffected.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .affinity import degree_vector, feature_affinity, l2_normalize
+
+
+def sign_fix(eigenvectors: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Resolve eigenvector sign ambiguity the way the reference does: flip a vector
+    iff strictly more than half (but not all) of its entries are positive
+    (reference: extract/extract.py:237-240).
+
+    eigenvectors: (K, N) row-major. mask: optional (N,) validity.
+    """
+    if mask is None:
+        frac_pos = jnp.mean((eigenvectors > 0).astype(jnp.float32), axis=-1)
+    else:
+        m = mask.astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(m), 1.0)
+        frac_pos = jnp.sum((eigenvectors > 0).astype(jnp.float32) * m[None, :], axis=-1) / denom
+    flip = (frac_pos > 0.5) & (frac_pos < 1.0)
+    return jnp.where(flip[:, None], -eigenvectors, eigenvectors)
+
+
+def _pad_aware_eigh(A: jax.Array, mask: Optional[jax.Array]) -> Tuple[jax.Array, jax.Array]:
+    """eigh of a symmetric operator whose padded diagonal is pushed past the valid
+    spectrum (Gershgorin upper bound of the valid block + margin)."""
+    if mask is not None:
+        m = mask.astype(A.dtype)
+        A = A * m[:, None] * m[None, :]
+        bound = jnp.max(jnp.sum(jnp.abs(A), axis=-1)) + 1.0
+        A = A + jnp.diag(jnp.where(mask, 0.0, bound))
+    evals, evecs = jnp.linalg.eigh(A)
+    return evals, evecs
+
+
+def laplacian_eigs(
+    W: jax.Array,
+    K: int,
+    *,
+    lapnorm: bool = True,
+    mask: Optional[jax.Array] = None,
+    apply_sign_fix: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Smallest-K eigenpairs of the graph Laplacian of affinity W.
+
+    lapnorm=True : generalized problem (D - W) x = lam D x  — the reference default
+                   (extract/extract.py:227-229); solved via the whitened operator.
+    lapnorm=False: standard problem (D - W) x = lam x (extract/extract.py:231-234).
+
+    Returns (eigenvalues (K,), eigenvectors (K, N)) sorted ascending, eigenvectors
+    row-major like the reference's saved dict (extract/extract.py:235, :243).
+    """
+    W = W.astype(jnp.float32)
+    N = W.shape[-1]
+    if mask is not None:
+        m = mask.astype(W.dtype)
+        W = W * m[:, None] * m[None, :]
+    d = degree_vector(W)
+    if lapnorm:
+        inv_sqrt_d = jax.lax.rsqrt(d)
+        A = -(inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :])
+        A = A + jnp.eye(N, dtype=W.dtype)
+    else:
+        A = jnp.diag(d) - W
+    evals, evecs = _pad_aware_eigh(A, mask)
+    evals = evals[:K]
+    V = evecs[:, :K]
+    if lapnorm:
+        V = jax.lax.rsqrt(d)[:, None] * V  # unwhiten: x^T D x = 1, ARPACK's M-norm
+    vectors = V.T
+    if mask is not None:
+        vectors = vectors * mask.astype(vectors.dtype)[None, :]
+    if apply_sign_fix:
+        vectors = sign_fix(vectors, mask)
+    return evals, vectors
+
+
+def affinity_eigs(
+    W: jax.Array,
+    K: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    apply_sign_fix: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Largest-K eigenpairs of an affinity matrix.
+
+    Reference quirk preserved (extract/extract.py:166-172): ARPACK returns the K
+    largest in ascending order; the reference flips the *eigenvectors* to
+    descending but leaves the *eigenvalues* ascending. We do the same.
+    """
+    W = W.astype(jnp.float32)
+    if mask is not None:
+        m = mask.astype(W.dtype)
+        W = W * m[:, None] * m[None, :]
+        # Push padded eigenvalues *below* the valid spectrum for a largest-K solve.
+        bound = jnp.max(jnp.sum(jnp.abs(W), axis=-1)) + 1.0
+        W = W - jnp.diag(jnp.where(mask, 0.0, bound))
+    evals, evecs = jnp.linalg.eigh(W)  # ascending
+    evals_k = evals[-K:]               # K largest, ascending (ARPACK order)
+    vectors = evecs[:, -K:][:, ::-1].T  # (K, N), descending eigenvalue
+    if mask is not None:
+        vectors = vectors * mask.astype(vectors.dtype)[None, :]
+    if apply_sign_fix:
+        vectors = sign_fix(vectors, mask)
+    return evals_k, vectors
+
+
+def affinity_svd_eigs(
+    feats: jax.Array,
+    K: int,
+    *,
+    mask: Optional[jax.Array] = None,
+    apply_sign_fix: bool = True,
+) -> Tuple[jax.Array, jax.Array]:
+    """Left singular vectors of the (normalized) feature matrix — the reference's
+    'affinity_svd' mode (extract/extract.py:160-163): eigenvectors = U[:, :K].T,
+    eigenvalues = S[:K]."""
+    f = feats.astype(jnp.float32)
+    if mask is not None:
+        f = f * mask.astype(f.dtype)[:, None]
+    U, S, _ = jnp.linalg.svd(f, full_matrices=False)
+    vectors = U[:, :K].T
+    if apply_sign_fix:
+        vectors = sign_fix(vectors, mask)
+    return S[:K], vectors
+
+
+def spectral_decompose(
+    feats: jax.Array,
+    K: int,
+    *,
+    which_matrix: str = "laplacian",
+    normalize: bool = True,
+    threshold_at_zero: bool = True,
+    lapnorm: bool = True,
+    color_W: Optional[jax.Array] = None,
+    image_color_lambda: float = 0.0,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fused end-to-end spectral decomposition of one image's patch features.
+
+    This is the TPU-native equivalent of the whole `_extract_eig` hot path
+    (reference: extract/extract.py:119-244): affinity matmul + optional color-graph
+    fusion + Laplacian + eigensolve in a single compiled program, with no host
+    round-trips. Batch it with `vmap` over bucketed images.
+
+    feats: (N, D). color_W: optional precomputed (N, N) color affinity.
+    Returns (eigenvalues (K,), eigenvectors (K, N)).
+    """
+    if which_matrix in ("laplacian", "matting_laplacian"):
+        W = feature_affinity(
+            feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
+            max_normalize=True, mask=mask,
+        )
+        if color_W is not None and image_color_lambda > 0:
+            W = W + color_W.astype(W.dtype) * image_color_lambda
+        return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask)
+    if which_matrix in ("affinity", "affinity_torch"):
+        W = feature_affinity(
+            feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
+            max_normalize=False, mask=mask,
+        )
+        return affinity_eigs(W, K, mask=mask)
+    if which_matrix == "affinity_svd":
+        f = l2_normalize(feats) if normalize else feats
+        return affinity_svd_eigs(f, K, mask=mask)
+    raise ValueError(f"unknown which_matrix: {which_matrix}")
+
+
+@partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
+                                   "lapnorm", "image_color_lambda"))
+def spectral_decompose_batched(
+    feats: jax.Array,
+    masks: Optional[jax.Array] = None,
+    color_W: Optional[jax.Array] = None,
+    *,
+    K: int = 5,
+    which_matrix: str = "laplacian",
+    normalize: bool = True,
+    threshold_at_zero: bool = True,
+    lapnorm: bool = True,
+    image_color_lambda: float = 0.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N)."""
+    def one(f, m, cw):
+        return spectral_decompose(
+            f, K, which_matrix=which_matrix, normalize=normalize,
+            threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
+            color_W=cw, image_color_lambda=image_color_lambda, mask=m,
+        )
+    B = feats.shape[0]
+    if masks is None:
+        masks = jnp.ones(feats.shape[:2], dtype=bool)
+    if color_W is None:
+        return jax.vmap(lambda f, m: one(f, m, None))(feats, masks)
+    return jax.vmap(one)(feats, masks, color_W)

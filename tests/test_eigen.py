@@ -1,0 +1,180 @@
+"""Parity tests of the batched TPU eigensolver against the reference's numerics
+(ARPACK generalized shift-invert eigsh — reference: extract/extract.py:227-234).
+
+BASELINE.md north star: eigenvectors >= 0.99 cosine similarity up to sign.
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.sparse.linalg import eigsh
+
+from deep_spectral_tpu.ops import (
+    affinity_eigs,
+    affinity_svd_eigs,
+    feature_affinity,
+    laplacian_eigs,
+    sign_fix,
+    spectral_decompose,
+)
+
+
+def _reference_laplacian_eigs(W: np.ndarray, K: int, lapnorm: bool = True):
+    """The reference solver, verbatim semantics (extract/extract.py:221-234)."""
+    D_vec = W.sum(axis=1)
+    D_vec[D_vec < 1e-12] = 1.0
+    D = np.diag(D_vec)
+    L = D - W
+    if lapnorm:
+        evals, evecs = eigsh(L, k=K, sigma=0, which="LM", M=D)
+    else:
+        evals, evecs = eigsh(L, k=K, sigma=0, which="LM")
+    return evals, evecs.T  # (K,), (K, N)
+
+
+def _random_affinity(rng, n, d=32):
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    W = feats @ feats.T
+    W = W * (W > 0)
+    W = W / W.max()
+    np.fill_diagonal(W, 1.0)
+    return W.astype(np.float32), feats
+
+
+def _cosine_up_to_sign(a, b):
+    a = a / (np.linalg.norm(a) + 1e-12)
+    b = b / (np.linalg.norm(b) + 1e-12)
+    return abs(float(a @ b))
+
+
+@pytest.mark.parametrize("lapnorm", [True, False])
+def test_laplacian_eigs_match_arpack(rng, lapnorm):
+    n, K = 120, 5
+    W, _ = _random_affinity(rng, n)
+    ref_vals, ref_vecs = _reference_laplacian_eigs(W, K, lapnorm=lapnorm)
+    vals, vecs = laplacian_eigs(jnp.asarray(W), K, lapnorm=lapnorm, apply_sign_fix=False)
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    np.testing.assert_allclose(vals, ref_vals, atol=2e-4, rtol=1e-3)
+    for k in range(K):
+        cos = _cosine_up_to_sign(vecs[k], ref_vecs[k])
+        assert cos > 0.99, f"eigenvector {k}: cosine {cos}"
+
+
+def test_laplacian_eigs_generalized_normalization(rng):
+    """ARPACK returns M-orthonormal vectors: x^T D x = 1. We must match so that
+    downstream thresholds (Fiedler > 0.0 etc.) see same-scale values."""
+    n, K = 80, 4
+    W, _ = _random_affinity(rng, n)
+    d = W.sum(axis=1)
+    vals, vecs = laplacian_eigs(jnp.asarray(W), K, lapnorm=True, apply_sign_fix=False)
+    vecs = np.asarray(vecs)
+    for k in range(K):
+        dnorm = float(vecs[k] @ (d * vecs[k]))
+        assert abs(dnorm - 1.0) < 1e-3
+
+
+def test_laplacian_eigs_padded_mask_equals_unpadded(rng):
+    """Bucketed padding must not perturb the valid subgraph's eigenpairs."""
+    n, pad, K = 90, 38, 5
+    W, _ = _random_affinity(rng, n)
+    Wp = np.zeros((n + pad, n + pad), np.float32)
+    Wp[:n, :n] = W
+    mask = np.zeros(n + pad, bool)
+    mask[:n] = True
+    vals_u, vecs_u = laplacian_eigs(jnp.asarray(W), K, apply_sign_fix=False)
+    vals_p, vecs_p = laplacian_eigs(jnp.asarray(Wp), K, mask=jnp.asarray(mask),
+                                    apply_sign_fix=False)
+    np.testing.assert_allclose(np.asarray(vals_p), np.asarray(vals_u), atol=1e-4)
+    for k in range(K):
+        cos = _cosine_up_to_sign(np.asarray(vecs_p)[k, :n], np.asarray(vecs_u)[k])
+        assert cos > 0.999
+    assert np.abs(np.asarray(vecs_p)[:, n:]).max() == 0.0
+
+
+def test_affinity_eigs_match_arpack(rng):
+    n, K = 100, 5
+    W, _ = _random_affinity(rng, n)
+    ref_vals, ref_vecs = eigsh(W, which="LM", k=K)  # ascending
+    ref_vecs = ref_vecs[:, ::-1].T  # reference flips vectors only (extract.py:172)
+    vals, vecs = affinity_eigs(jnp.asarray(W), K, apply_sign_fix=False)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=1e-4, rtol=1e-4)
+    for k in range(K):
+        cos = _cosine_up_to_sign(np.asarray(vecs)[k], ref_vecs[k])
+        assert cos > 0.99
+
+
+def test_affinity_svd_eigs(rng):
+    n, d, K = 64, 32, 5
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    U, S, _ = np.linalg.svd(feats, full_matrices=False)
+    vals, vecs = affinity_svd_eigs(jnp.asarray(feats), K, apply_sign_fix=False)
+    np.testing.assert_allclose(np.asarray(vals), S[:K], atol=1e-3, rtol=1e-3)
+    for k in range(K):
+        assert _cosine_up_to_sign(np.asarray(vecs)[k], U[:, k]) > 0.999
+
+
+def test_sign_fix_matches_reference_rule():
+    v = np.array([
+        [0.6, 0.2, 0.1, -0.3],   # 75% positive -> flip
+        [-0.6, -0.2, -0.1, 0.3],  # 25% positive -> keep
+        [0.5, 0.2, 0.1, 0.3],     # 100% positive -> keep (strict < 1.0)
+        [0.5, -0.2, 0.1, -0.3],   # exactly 50% -> keep (strict > 0.5)
+    ], dtype=np.float32)
+    out = np.asarray(sign_fix(jnp.asarray(v)))
+    np.testing.assert_allclose(out[0], -v[0])
+    np.testing.assert_allclose(out[1], v[1])
+    np.testing.assert_allclose(out[2], v[2])
+    np.testing.assert_allclose(out[3], v[3])
+
+
+def test_spectral_decompose_end_to_end_matches_reference(rng):
+    """Full fused path (normalize -> affinity -> laplacian -> eigh) vs the
+    reference recipe run step-by-step in numpy/scipy."""
+    n, d, K = 110, 48, 5
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+
+    # Reference pipeline (extract/extract.py:146-234), numpy.
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    W = f @ f.T
+    W = W * (W > 0)
+    W = W / W.max()
+    ref_vals, ref_vecs = _reference_laplacian_eigs(W.astype(np.float32), K)
+
+    vals, vecs = spectral_decompose(jnp.asarray(feats), K, which_matrix="laplacian")
+    vals, vecs = np.asarray(vals), np.asarray(vecs)
+    np.testing.assert_allclose(vals, ref_vals, atol=2e-4, rtol=1e-3)
+    for k in range(K):
+        assert _cosine_up_to_sign(vecs[k], ref_vecs[k]) > 0.99
+
+
+def test_spectral_decompose_with_color_affinity(rng):
+    n, d, K, lam = 96, 32, 4, 10.0
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    W_color = rng.random((n, n)).astype(np.float32)
+    W_color = ((W_color + W_color.T) > 1.6).astype(np.float32)
+
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    W = f @ f.T
+    W = W * (W > 0)
+    W = W / W.max()
+    W_comb = W + lam * W_color
+    ref_vals, ref_vecs = _reference_laplacian_eigs(W_comb.astype(np.float32), K)
+
+    vals, vecs = spectral_decompose(
+        jnp.asarray(feats), K, which_matrix="laplacian",
+        color_W=jnp.asarray(W_color), image_color_lambda=lam,
+    )
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=5e-4, rtol=1e-3)
+    for k in range(K):
+        assert _cosine_up_to_sign(np.asarray(vecs)[k], ref_vecs[k]) > 0.99
+
+
+def test_feature_affinity_matches_reference(rng):
+    n, d = 50, 16
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+    W_ref = f @ f.T
+    W_ref = W_ref * (W_ref > 0)
+    W_ref = W_ref / W_ref.max()
+    W = np.asarray(feature_affinity(jnp.asarray(feats)))
+    np.testing.assert_allclose(W, W_ref, atol=1e-5)
