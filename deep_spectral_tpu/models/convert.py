@@ -1,0 +1,92 @@
+"""Convert torch DINO checkpoints into flax parameter trees.
+
+The reference obtains its backbone with `torch.hub.load('facebookresearch/dino:main',
+name)` (reference: extract/extract_utils.py:40-50). This environment has no network
+egress, so weights are loaded from a local state-dict file when available
+(`DSS_TPU_DINO_CKPT_DIR` or an explicit path); otherwise callers fall back to
+deterministic random init (tests do this). Conversion is host-side, one-time.
+"""
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from .vit import ViTConfig, get_model_config
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x,
+                      dtype=np.float32)
+
+
+def convert_dino_torch_checkpoint(state_dict: dict, cfg: ViTConfig) -> dict:
+    """Map a torch DINO ViT state dict onto the flax `VisionTransformer` tree."""
+    sd = {k: _t(v) for k, v in state_dict.items()}
+    p: dict = {}
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = sd["pos_embed"]
+    # torch Conv2d (D, 3, P, P) -> flax (P, P, 3, D)
+    p["patch_embed"] = {
+        "kernel": sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0),
+        "bias": sd["patch_embed.proj.bias"],
+    }
+    for i in range(cfg.depth):
+        b = f"blocks.{i}."
+        p[f"blocks_{i}"] = {
+            "norm1": {"scale": sd[b + "norm1.weight"], "bias": sd[b + "norm1.bias"]},
+            "norm2": {"scale": sd[b + "norm2.weight"], "bias": sd[b + "norm2.bias"]},
+            "attn": {
+                # torch Linear (out, in) -> flax Dense kernel (in, out)
+                "qkv": {"kernel": sd[b + "attn.qkv.weight"].T,
+                        "bias": sd[b + "attn.qkv.bias"]},
+                "proj": {"kernel": sd[b + "attn.proj.weight"].T,
+                         "bias": sd[b + "attn.proj.bias"]},
+            },
+            "mlp": {
+                "fc1": {"kernel": sd[b + "mlp.fc1.weight"].T,
+                        "bias": sd[b + "mlp.fc1.bias"]},
+                "fc2": {"kernel": sd[b + "mlp.fc2.weight"].T,
+                        "bias": sd[b + "mlp.fc2.bias"]},
+            },
+        }
+    p["norm"] = {"scale": sd["norm.weight"], "bias": sd["norm.bias"]}
+    return {"params": p}
+
+
+def find_local_checkpoint(model_name: str,
+                          ckpt_dir: Optional[str] = None) -> Optional[Path]:
+    """Look for `<model_name>.pth` under `ckpt_dir` or $DSS_TPU_DINO_CKPT_DIR."""
+    roots = []
+    if ckpt_dir:
+        roots.append(Path(ckpt_dir))
+    env = os.environ.get("DSS_TPU_DINO_CKPT_DIR")
+    if env:
+        roots.append(Path(env))
+    for root in roots:
+        for cand in (root / f"{model_name}.pth", root / f"{model_name}.pt"):
+            if cand.is_file():
+                return cand
+    return None
+
+
+def load_params(model_name: str, ckpt_dir: Optional[str] = None, seed: int = 0):
+    """Return (model, params); converted pretrained weights when a local torch
+    checkpoint is found, deterministic random init otherwise."""
+    from .vit import VisionTransformer, init_vit_params
+    cfg = get_model_config(model_name)
+    path = find_local_checkpoint(model_name, ckpt_dir)
+    if path is None:
+        return init_vit_params(cfg, seed=seed)
+    import torch
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    sd = {k.removeprefix("module."): v for k, v in sd.items()
+          if not k.startswith("head.")}
+    params = convert_dino_torch_checkpoint(sd, cfg)
+    import jax
+    params = jax.tree.map(lambda a: a, params)
+    return VisionTransformer(cfg), params
