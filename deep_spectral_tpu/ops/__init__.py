@@ -11,3 +11,16 @@ from .eigen import (  # noqa: F401
     sign_fix,
     spectral_decompose,
 )
+from .kmeans import kmeans, pca, KMeansResult  # noqa: F401
+from .morphology import (  # noqa: F401
+    binary_erode,
+    binary_dilate,
+    erode_or_dilate_mask,
+    label_components,
+    largest_component,
+    largest_component_bbox,
+    mask_bbox,
+    get_border_fraction,
+    infer_background_swap,
+)
+from . import metrics, resize  # noqa: F401
