@@ -1,0 +1,106 @@
+"""Dense-CRF mean-field tests.
+
+SimpleCRF is not installable here (and is the component being replaced), so these
+are behavioral tests: the CRF must (a) denoise label speckle within homogeneous
+color regions, (b) snap label boundaries to strong color edges, (c) preserve a
+clean segmentation, and (d) the bilateral grid filter must approximate an exact
+brute-force bilateral filter.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from deep_spectral_tpu.ops.crf import (
+    bilateral_filter, dense_crf, gaussian_filter_2d,
+)
+
+
+def _two_region_image(H=64, W=64, noise=0.0, rng=None):
+    """Left half dark, right half bright."""
+    img = np.zeros((H, W, 3), np.float32)
+    img[:, : W // 2] = 40.0
+    img[:, W // 2:] = 210.0
+    if noise and rng is not None:
+        img = np.clip(img + rng.normal(0, noise, img.shape), 0, 255)
+    return img
+
+
+def test_gaussian_filter_is_separable_gaussian(rng):
+    x = np.zeros((31, 31, 1), np.float32)
+    x[15, 15] = 1.0
+    out = np.asarray(gaussian_filter_2d(jnp.asarray(x), 3.0))[..., 0]
+    import scipy.ndimage as ndi
+    ref = ndi.gaussian_filter(x[..., 0], 3.0, truncate=2.5, mode="constant")
+    # Ours is unnormalized; compare shapes after normalizing both.
+    np.testing.assert_allclose(out / out.sum(), ref / ref.sum(), atol=1e-4)
+
+
+def test_bilateral_filter_respects_edges(rng):
+    img = _two_region_image()
+    vals = rng.random((64, 64, 2)).astype(np.float32)
+    vals[:, :32, 0] = 1.0
+    vals[:, 32:, 0] = 0.0
+    out, density = bilateral_filter(jnp.asarray(vals), jnp.asarray(img),
+                                    alpha=16.0, beta=13.0)
+    out = np.asarray(out)
+    # Averaging stays within each color region: channel 0 stays ~1 left, ~0 right.
+    assert out[:, :28, 0].min() > 0.9
+    assert out[:, 36:, 0].max() < 0.1
+    assert np.asarray(density).min() > 0
+
+
+def test_bilateral_filter_matches_bruteforce(rng):
+    """Small image: grid approximation vs exact O(N^2) bilateral average."""
+    H = W = 16
+    img = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    vals = rng.random((H, W, 1)).astype(np.float32)
+    alpha, beta = 4.0, 26.0
+    out, _ = bilateral_filter(jnp.asarray(vals), jnp.asarray(img), alpha, beta)
+    out = np.asarray(out)[..., 0]
+
+    yy, xx = np.mgrid[:H, :W]
+    pos = np.stack([yy, xx], -1).reshape(-1, 2) / alpha
+    col = img.reshape(-1, 3) / beta
+    f = np.concatenate([pos, col], 1)
+    k = np.exp(-0.5 * ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1))
+    ref = (k @ vals.reshape(-1)) / k.sum(1)
+    ref = ref.reshape(H, W)
+    # Grid filtering is an approximation; require high correlation + low error.
+    corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.9, f"correlation {corr}"
+    assert np.abs(out - ref).mean() < 0.08
+
+
+def test_crf_denoises_speckle(rng):
+    img = _two_region_image(noise=5.0, rng=rng)
+    seg = np.zeros((64, 64), np.int32)
+    seg[:, 32:] = 1
+    noisy = seg.copy()
+    flip = rng.random(seg.shape) < 0.12
+    noisy[flip] = 1 - noisy[flip]
+    out = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(noisy), num_classes=2,
+                               params=(10.0, 20.0, 13.0, 3.0, 3.0, 5.0)))
+    err_before = (noisy != seg).mean()
+    err_after = (out != seg).mean()
+    assert err_after < err_before * 0.35, (err_before, err_after)
+
+
+def test_crf_preserves_clean_segmentation():
+    img = _two_region_image()
+    seg = np.zeros((64, 64), np.int32)
+    seg[:, 32:] = 1
+    out = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(seg), num_classes=2,
+                               params=(10.0, 20.0, 13.0, 3.0, 3.0, 5.0)))
+    assert (out == seg).mean() > 0.98
+
+
+def test_crf_snaps_to_color_edge(rng):
+    """Segmentation boundary offset from the color edge should move toward it."""
+    img = _two_region_image()
+    seg = np.zeros((64, 64), np.int32)
+    seg[:, 36:] = 1  # boundary 4px right of the color edge at 32
+    out = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(seg), num_classes=2,
+                               params=(10.0, 20.0, 13.0, 3.0, 3.0, 10.0)))
+    # Count misassigned pixels relative to the color regions.
+    true_seg = np.zeros_like(seg)
+    true_seg[:, 32:] = 1
+    assert (out != true_seg).mean() < (seg != true_seg).mean()
