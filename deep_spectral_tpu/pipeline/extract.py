@@ -1,0 +1,654 @@
+"""The ten-stage deep-spectral pipeline, TPU-native.
+
+Same CLI stages, flags, and on-disk layout as the reference
+(`extract/extract.py:837-850`): per-image `<id>.pth` feature/eig dicts, `.png`
+segmaps, one `.pth` bbox list. What changed is *how* each stage computes:
+
+  reference                                   this framework
+  ------------------------------------------  ----------------------------------
+  per-image torch forward, batch_size=1       shape-bucketed batched ViT forward
+    + forward hook on qkv                       that returns qkv directly
+  per-image host ARPACK eigsh (+ CPU pool)    fused affinity->Laplacian->batched
+                                                dense eigh on device
+  sklearn KMeans / MiniBatchKMeans / PCA      jit k-means++/Lloyd + SVD PCA
+  skimage morphology + scipy CC (host)        reduce-window morphology + label
+                                                propagation on device
+  SimpleCRF permutohedral C++                 bilateral-grid mean field on device
+  multiprocessing.Pool over images            vmap over bucket batches; the
+                                                `--multiprocessing N` flag is
+                                                accepted and ignored
+
+Stages are idempotent/resumable exactly like the reference (skip if the output
+file exists, reference: extract/extract.py:77-79 et al.).
+"""
+from __future__ import annotations
+
+import sys
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.convert import load_params
+from ..models.vit import extract_patch_keys, get_model_config
+from ..ops import (
+    erode_or_dilate_mask, infer_background_swap, kmeans, mask_bbox, pca,
+)
+from ..ops.affinity import knn_affinity, rw_affinity
+from ..ops.crf import DEFAULT_CRF_PARAMS, dense_crf
+from ..ops.eigen import spectral_decompose_batched
+from ..ops.resize import resize_bilinear, resize_nearest
+from ..utils import bucketing
+from ..utils.image_io import load_image_rgb, load_image_resized, normalize_imagenet, read_image_list
+from ..utils.serialization import load_pth, save_pth, save_segmap_png, load_segmap_png
+from ..utils.sizes import get_image_sizes
+
+
+# --------------------------------------------------------------------- helpers
+
+def make_output_dir(output_dir, check_if_empty: bool = True) -> None:
+    """mkdir -p; if non-empty, confirm interactively when attached to a TTY
+    (reference: extract/extract_utils.py:98-104), else proceed (resumable stages
+    skip existing outputs anyway)."""
+    out = Path(output_dir)
+    out.mkdir(exist_ok=True, parents=True)
+    if check_if_empty and any(out.iterdir()) and sys.stdin.isatty():
+        if input("Output dir already contains files. Continue? (y/n) >> ") != "y":
+            sys.exit()
+
+
+def get_paired_input_files(path1, path2) -> list:
+    def files(p):
+        p = Path(p)
+        if p.is_dir():
+            return sorted(p.iterdir())
+        if p.is_file():
+            return p.read_text().splitlines()
+        raise ValueError(str(p))
+    f1, f2 = files(path1), files(path2)
+    assert len(f1) == len(f2), f"{len(f1)} vs {len(f2)} paired files"
+    return list(enumerate(zip(f1, f2)))
+
+
+class _AsyncWriter:
+    """Overlap host-side serialization with device compute."""
+
+    def __init__(self, workers: int = 8):
+        self._pool = ThreadPoolExecutor(workers)
+        self._futures = []
+
+    def submit(self, fn, *args):
+        self._futures.append(self._pool.submit(fn, *args))
+
+    def close(self):
+        for f in self._futures:
+            f.result()
+        self._pool.shutdown()
+
+
+def _progress(it, desc):
+    try:
+        from tqdm import tqdm
+        return tqdm(it, desc=desc)
+    except ImportError:
+        return it
+
+
+# ----------------------------------------------------------- stage 1: features
+
+def extract_features(
+    images_list: str,
+    images_root: Optional[str],
+    model_name: str,
+    batch_size: int,
+    output_dir: str,
+    which_block: int = -1,
+    ckpt_dir: Optional[str] = None,
+    bucket_granularity: int = 8,
+):
+    """Dense ViT patch-key features for every image in the list
+    (reference: extract/extract.py:21-116). Batched per shape bucket; the saved
+    per-image dict is schema-identical to the reference's."""
+    make_output_dir(output_dir)
+    model_name = model_name.lower()
+    cfg = get_model_config(model_name)
+    model, params = load_params(model_name, ckpt_dir)
+    P = cfg.patch_size
+
+    paths = read_image_list(images_list, images_root)
+    rels = [p.name if images_root is not None else str(p) for p in paths]
+
+    @jax.jit
+    def fwd(images, token_mask):
+        return extract_patch_keys(model, params, images,
+                                  which_block=which_block, token_mask=token_mask)
+
+    # Host-side sizes (decode headers only) for bucketing.
+    from PIL import Image
+    def size_of(item):
+        _, path = item
+        with Image.open(str(path)) as im:
+            w, h = im.size
+        return (h // P, w // P)
+
+    writer = _AsyncWriter()
+    items = [x for x in enumerate(paths)
+             if not (Path(output_dir) / f"{Path(rels[x[0]]).stem}.pth").is_file()]
+    done = [0]
+
+    def process(bucket: bucketing.Bucket, batch_items):
+        imgs, metas = [], []
+        for idx, path in batch_items:
+            rgb = load_image_rgb(path)
+            H, W = rgb.shape[:2]
+            x = normalize_imagenet(rgb).transpose(1, 2, 0)  # HWC float32
+            H_pad, W_pad = (H // P) * P, (W // P) * P
+            imgs.append(x[:H_pad, :W_pad])
+            metas.append((idx, rels[idx], (1, 3, H, W)))
+        padded, extents = bucketing.pad_batch_images(
+            imgs, (bucket.h * P, bucket.w * P), batch_size)
+        masks = bucketing.token_masks(extents, bucket, P)
+        k = fwd(jnp.asarray(padded), jnp.asarray(masks))
+        k = np.asarray(k, dtype=np.float32)
+        for i, (idx, rel, shape) in enumerate(metas):
+            hp, wp = extents[i, 0] // P, extents[i, 1] // P
+            ki = k[i].reshape(bucket.h, bucket.w, -1)[:hp, :wp].reshape(1, hp * wp, -1)
+            out = {
+                "k": ki.astype(np.float16),
+                "indices": np.asarray([idx]),
+                "file": rel,
+                "id": Path(rel).stem,
+                "model_name": model_name,
+                "patch_size": P,
+                "shape": shape,
+            }
+            writer.submit(save_pth, out, Path(output_dir) / f"{out['id']}.pth")
+        done[0] += len(metas)
+
+    bucketing.run_bucketed(items, size_of, process, batch_size=batch_size,
+                           granularity=bucket_granularity)
+    writer.close()
+    print(f"Saved {done[0]} features to {output_dir}")
+
+
+# --------------------------------------------------------------- stage 2: eigs
+
+def extract_eigs(
+    images_root: str,
+    features_dir: str,
+    output_dir: str,
+    which_matrix: str = "laplacian",
+    which_color_matrix: str = "knn",
+    which_features: str = "k",
+    normalize: bool = True,
+    threshold_at_zero: bool = True,
+    lapnorm: bool = True,
+    K: int = 20,
+    image_downsample_factor: Optional[int] = None,
+    image_color_lambda: float = 0.0,
+    multiprocessing: int = 0,  # accepted for CLI parity; batching replaces it
+    batch_size: int = 8,
+    bucket_granularity: int = 4,
+):
+    """Laplacian/affinity eigendecomposition per image
+    (reference: extract/extract.py:119-280), batched on device."""
+    del multiprocessing
+    make_output_dir(output_dir)
+
+    files = sorted(Path(features_dir).iterdir())
+    pending = []
+    for f in files:
+        d = load_pth(f)
+        image_id = d["file"][:-4]
+        out_file = Path(output_dir) / f"{image_id}.pth"
+        if out_file.is_file():
+            continue
+        pending.append((d, image_id, out_file))
+
+    writer = _AsyncWriter()
+
+    def lr_grid(d) -> Tuple[int, int]:
+        s = get_image_sizes(d)
+        f = s.P if image_downsample_factor is None else image_downsample_factor
+        return s.H_pad // f, s.W_pad // f
+
+    def process(bucket: bucketing.Bucket, batch_items):
+        B = batch_size
+        D = batch_items[0][0][which_features].shape[-1]
+        feats = np.zeros((B, bucket.tokens, D), np.float32)
+        color_Ws = (np.zeros((B, bucket.tokens, bucket.tokens), np.float32)
+                    if image_color_lambda > 0 else None)
+        extents = np.zeros((B, 2), np.int32)
+        metas = []
+        for i, (d, image_id, out_file) in enumerate(batch_items):
+            s = get_image_sizes(d)
+            h_lr, w_lr = lr_grid(d)
+            fi = np.asarray(d[which_features], np.float32).reshape(-1, D)
+            if (s.H_patch, s.W_patch) != (h_lr, w_lr):
+                # Bilinear upsample patch features to the lr grid
+                # (reference: extract/extract.py:184-188).
+                fi = np.asarray(resize_bilinear(
+                    jnp.asarray(fi.reshape(s.H_patch, s.W_patch, D)),
+                    (h_lr, w_lr))).reshape(-1, D)
+            grid = np.zeros((bucket.h, bucket.w, D), np.float32)
+            grid[:h_lr, :w_lr] = fi.reshape(h_lr, w_lr, D)
+            feats[i] = grid.reshape(-1, D)
+            extents[i] = (h_lr, w_lr)
+            if color_Ws is not None:
+                img_lr = load_image_resized(
+                    Path(images_root) / f"{image_id}.jpg", (w_lr, h_lr))
+                img_pad = np.zeros((bucket.h, bucket.w, 3), np.float32)
+                img_pad[:h_lr, :w_lr] = img_lr
+                m = bucketing.grid_masks(extents[i:i + 1], (bucket.h, bucket.w))[0]
+                aff = (knn_affinity if which_color_matrix == "knn" else rw_affinity)
+                color_Ws[i] = np.asarray(aff(jnp.asarray(img_pad), mask=jnp.asarray(m)))
+            metas.append((image_id, out_file, h_lr, w_lr))
+
+        masks = bucketing.grid_masks(extents, (bucket.h, bucket.w))
+        evals, evecs = spectral_decompose_batched(
+            jnp.asarray(feats), jnp.asarray(masks),
+            None if color_Ws is None else jnp.asarray(color_Ws),
+            K=K, which_matrix=which_matrix, normalize=normalize,
+            threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
+            image_color_lambda=image_color_lambda,
+        )
+        evals, evecs = np.asarray(evals), np.asarray(evecs)
+        for i, (image_id, out_file, h_lr, w_lr) in enumerate(metas):
+            vec = evecs[i].reshape(K, bucket.h, bucket.w)[:, :h_lr, :w_lr]
+            out = {
+                "eigenvalues": evals[i].astype(np.float32),
+                "eigenvectors": vec.reshape(K, h_lr * w_lr).astype(np.float32),
+            }
+            writer.submit(save_pth, out, out_file)
+
+    bucketing.run_bucketed(
+        pending, lambda it: lr_grid(it[0]), process,
+        batch_size=batch_size, granularity=bucket_granularity)
+    writer.close()
+    print(f"Saved eigs to {output_dir}")
+
+
+# ------------------------------------------- stages 3/4: region segmentations
+
+def _load_feature_eig_pair(feature_path, eigs_path):
+    d = load_pth(feature_path)
+    d.update(load_pth(eigs_path))
+    return d
+
+
+def extract_multi_region_segmentations(
+    features_dir: str,
+    eigs_dir: str,
+    output_dir: str,
+    adaptive: bool = False,
+    non_adaptive_num_segments: int = 4,
+    infer_bg_index: bool = True,
+    kmeans_baseline: bool = False,
+    num_eigenvectors: int = 1_000_000,
+    multiprocessing: int = 0,
+    seed: int = 0,
+):
+    """k-means over eigenvectors -> multi-region segmaps
+    (reference: extract/extract.py:283-377)."""
+    del multiprocessing
+    make_output_dir(output_dir)
+    inputs = get_paired_input_files(features_dir, eigs_dir)
+
+    kmeans_v = jax.jit(partial(_kmeans_labels, n_init=10, max_iter=300),
+                       static_argnames=("k",))
+
+    for index, (feature_path, eigs_path) in _progress(inputs, "multi_region"):
+        d = _load_feature_eig_pair(feature_path, eigs_path)
+        out_file = Path(output_dir) / f"{d['id']}.png"
+        if out_file.is_file():
+            continue
+        s = get_image_sizes(d)
+
+        if adaptive:
+            # Number of segments from the largest eigenvalue gap
+            # (reference: extract/extract.py:311-315).
+            gaps = np.diff(np.asarray(d["eigenvalues"]))
+            order = np.argsort(gaps)[::-1]
+            n_clusters = int(order[order != 0][0]) + 1
+        else:
+            n_clusters = non_adaptive_num_segments
+
+        if kmeans_baseline:
+            X = np.asarray(d["k"], np.float32).reshape(-1, d["k"].shape[-1])
+        else:
+            X = np.asarray(d["eigenvectors"], np.float32)[1: 1 + num_eigenvectors].T
+
+        key = jax.random.PRNGKey(seed + index)
+        labels = np.asarray(kmeans_v(jnp.asarray(X), key, k=n_clusters))
+
+        if labels.size == s.H_patch * s.W_patch:
+            segmap = labels.reshape(s.H_patch, s.W_patch)
+        elif labels.size == s.H_patch * s.W_patch * 4:
+            segmap = labels.reshape(s.H_patch * 2, s.W_patch * 2)
+        else:
+            raise ValueError(f"{labels.size=} vs {s}")
+
+        if infer_bg_index:
+            segmap = np.asarray(infer_background_swap(jnp.asarray(segmap), n_clusters))
+
+        save_segmap_png(segmap.astype(np.uint8), out_file)
+    print(f"Saved multi-region segmentations to {output_dir}")
+
+
+def _kmeans_labels(X, key, *, k, n_init, max_iter):
+    return kmeans(X, k, key, n_init=n_init, max_iter=max_iter).labels
+
+
+def extract_single_region_segmentations(
+    features_dir: str,
+    eigs_dir: str,
+    output_dir: str,
+    threshold: float = 0.0,
+    multiprocessing: int = 0,
+):
+    """Binary mask = Fiedler vector > threshold
+    (reference: extract/extract.py:380-426). Saved as 0/255 like the reference's
+    bool->PIL path so downstream binarization at 0.5 works."""
+    del multiprocessing
+    make_output_dir(output_dir)
+    inputs = get_paired_input_files(features_dir, eigs_dir)
+    for _, (feature_path, eigs_path) in _progress(inputs, "single_region"):
+        d = _load_feature_eig_pair(feature_path, eigs_path)
+        out_file = Path(output_dir) / f"{d['id']}.png"
+        if out_file.is_file():
+            continue
+        s = get_image_sizes(d)
+        vec = np.asarray(d["eigenvectors"])[1]
+        segmap = (vec > threshold).reshape(s.H_patch, s.W_patch)
+        save_segmap_png(segmap.astype(np.uint8) * 255, out_file)
+    print(f"Saved single-region segmentations to {output_dir}")
+
+
+# ------------------------------------------------------------ stage 5: bboxes
+
+def extract_bboxes(
+    features_dir: str,
+    segmentations_dir: str,
+    output_file: str,
+    num_erode: int = 2,
+    num_dilate: int = 3,
+    skip_bg_index: bool = True,
+    downsample_factor: Optional[int] = None,
+):
+    """Eroded/dilated per-segment bounding boxes
+    (reference: extract/extract.py:429-497). Morphology + extents run on device."""
+    make_output_dir(str(Path(output_file).parent), check_if_empty=False)
+    inputs = get_paired_input_files(features_dir, segmentations_dir)
+
+    @partial(jax.jit, static_argnames=("num_erode", "num_dilate"))
+    def segment_box(mask, num_erode, num_dilate):
+        m = erode_or_dilate_mask(mask, r=num_erode, erode=True)
+        m = erode_or_dilate_mask(m, r=num_dilate, erode=False)
+        return mask_bbox(m)
+
+    all_outputs = []
+    for _, (feature_path, seg_path) in _progress(inputs, "bboxes"):
+        d = load_pth(feature_path)
+        segmap = load_segmap_png(seg_path)
+        s = get_image_sizes(d, downsample_factor)
+        outputs = {"bboxes": [], "bboxes_original_resolution": [],
+                   "segment_indices": [], "id": d["id"],
+                   "format": "(xmin, ymin, xmax, ymax)"}
+        for seg_idx in sorted(np.unique(segmap).tolist()):
+            if skip_bg_index and seg_idx <= 0:
+                continue
+            box = np.asarray(segment_box(jnp.asarray(segmap == seg_idx),
+                                         num_erode, num_dilate))
+            xmin, ymin, xmax, ymax = (int(v) for v in box)
+            outputs["segment_indices"].append(seg_idx)
+            outputs["bboxes"].append([xmin, ymin, xmax, ymax])
+            outputs["bboxes_original_resolution"].append(
+                [xmin * s.P, ymin * s.P, xmax * s.P, ymax * s.P])
+        all_outputs.append(outputs)
+    save_pth(all_outputs, output_file)
+    print(f"Saved bboxes to {output_file}")
+
+
+# ----------------------------------------------------- stage 6: bbox features
+
+def extract_bbox_features(
+    images_root: str,
+    bbox_file: str,
+    model_name: str,
+    output_file: str,
+    ckpt_dir: Optional[str] = None,
+    batch_size: int = 16,
+):
+    """CLS embedding of each bbox crop (reference: extract/extract.py:500-544),
+    batched across all crops by bucket shape."""
+    bbox_list = load_pth(bbox_file)
+    model_name = model_name.lower()
+    cfg = get_model_config(model_name)
+    model, params = load_params(model_name, ckpt_dir)
+    P = cfg.patch_size
+
+    @jax.jit
+    def fwd_cls(images, token_mask):
+        out = model.apply(params, images, n_intermediates=1, token_mask=token_mask)
+        return out["cls"]
+
+    # Gather all crops with back-references.
+    crops = []  # (img_idx, box_idx, crop HWC normalized)
+    for i, bd in enumerate(_progress(bbox_list, "bbox crops")):
+        rgb = load_image_rgb(Path(images_root) / f"{bd['id']}.jpg")
+        x = normalize_imagenet(rgb).transpose(1, 2, 0)
+        for j, (xmin, ymin, xmax, ymax) in enumerate(bd["bboxes_original_resolution"]):
+            crop = x[ymin:ymax, xmin:xmax]
+            hp, wp = max(crop.shape[0] // P, 1), max(crop.shape[1] // P, 1)
+            crops.append((i, j, crop[: hp * P, : wp * P]))
+
+    feats: dict[tuple, np.ndarray] = {}
+
+    def process(bucket: bucketing.Bucket, batch_items):
+        imgs = [c[2] for c in batch_items]
+        padded, extents = bucketing.pad_batch_images(
+            imgs, (bucket.h * P, bucket.w * P), batch_size)
+        masks = bucketing.token_masks(extents, bucket, P)
+        cls = np.asarray(fwd_cls(jnp.asarray(padded), jnp.asarray(masks)))
+        for b, (i, j, _) in enumerate(batch_items):
+            feats[(i, j)] = cls[b]
+
+    bucketing.run_bucketed(
+        crops, lambda c: (max(c[2].shape[0] // P, 1), max(c[2].shape[1] // P, 1)),
+        process, batch_size=batch_size, granularity=4)
+
+    for i, bd in enumerate(bbox_list):
+        n = len(bd["bboxes"])
+        bd["features"] = np.stack([feats[(i, j)] for j in range(n)]) if n else \
+            np.zeros((0, cfg.embed_dim), np.float32)
+    save_pth(bbox_list, output_file)
+    print(f"Saved features to {output_file}")
+
+
+# ----------------------------------------------------- stage 7: bbox clusters
+
+def extract_bbox_clusters(
+    bbox_features_file: str,
+    output_file: str,
+    num_clusters: int = 20,
+    seed: int = 0,
+    pca_dim: Optional[int] = 0,
+):
+    """Dataset-wide clustering of bbox features
+    (reference: extract/extract.py:547-599). Full-batch Lloyd replaces
+    MiniBatchKMeans — exact, and a single fused device program."""
+    bbox_list = load_pth(bbox_features_file)
+    all_features = np.concatenate([bd["features"] for bd in bbox_list], axis=0)
+    all_features = all_features / np.linalg.norm(all_features, axis=-1, keepdims=True)
+
+    X = jnp.asarray(all_features, jnp.float32)
+    if pca_dim:
+        X = pca(X, pca_dim)
+    res = kmeans(X, num_clusters, jax.random.PRNGKey(seed), n_init=10, max_iter=300)
+    clusters = np.asarray(res.labels)
+
+    idx_vals, counts = np.unique(clusters, return_counts=True)
+    print(f"Cluster indices: {idx_vals.tolist()}")
+    print(f"Cluster counts: {counts.tolist()}")
+
+    idx = 0
+    for bd in bbox_list:
+        n = len(bd["bboxes"])
+        del bd["features"]
+        bd["clusters"] = clusters[idx: idx + n]
+        idx += n
+    save_pth(bbox_list, output_file)
+    print(f"Saved clusters to {output_file}")
+
+
+# ------------------------------------------- stage 8: semantic segmentations
+
+def extract_semantic_segmentations(
+    segmentations_dir: str,
+    bbox_clusters_file: str,
+    output_dir: str,
+):
+    """Map each segment to its bbox's dataset-wide cluster id
+    (reference: extract/extract.py:602-647)."""
+    bbox_list = load_pth(bbox_clusters_file)
+    make_output_dir(output_dir)
+    for bd in _progress(bbox_list, "semantic segmaps"):
+        segmap = load_segmap_png(Path(segmentations_dir) / f"{bd['id']}.png")
+        if set(np.unique(segmap).tolist()).issubset({0, 255}):
+            segmap = segmap.copy()
+            segmap[segmap == 255] = 1
+        semantic_map = dict(zip(bd["segment_indices"],
+                                np.asarray(bd["clusters"]).tolist()))
+        assert 0 not in semantic_map, semantic_map
+        semantic_map[0] = 0  # background stays zero
+        lut = np.zeros(max(semantic_map) + 1, np.uint8)
+        for k, v in semantic_map.items():
+            lut[k] = v
+        save_segmap_png(lut[segmap], Path(output_dir) / f"{bd['id']}.png")
+    print(f"Saved semantic segmentations to {output_dir}")
+
+
+# --------------------------------------------------- stage 9: CRF refinement
+
+def extract_crf_segmentations(
+    images_list: str,
+    images_root: str,
+    segmentations_dir: str,
+    output_dir: str,
+    num_classes: int = 21,
+    downsample_factor: int = 16,
+    multiprocessing: int = 0,
+    w1: float = 10.0,
+    alpha: float = 80.0,
+    beta: float = 13.0,
+    w2: float = 3.0,
+    gamma: float = 3.0,
+    it: float = 5.0,
+):
+    """Dense-CRF sharpening of patch-level segmaps at full image resolution
+    (reference: extract/extract.py:650-735), on device."""
+    del multiprocessing
+    make_output_dir(output_dir)
+    inputs = get_paired_input_files(images_list, segmentations_dir)
+    params = (w1, alpha, beta, w2, gamma, it)
+
+    @partial(jax.jit, static_argnames=("nc",))
+    def crf_one(image, segmap_full, nc):
+        return dense_crf(image, segmap_full, num_classes=nc, params=params)
+
+    for _, (image_file, segmap_path) in _progress(inputs, "crf"):
+        image_id = Path(image_file).stem
+        out_file = Path(output_dir) / f"{image_id}.png"
+        if out_file.is_file():
+            continue
+        image = load_image_rgb(Path(images_root) / f"{image_id}.jpg")
+        segmap = load_segmap_png(segmap_path)
+
+        P = downsample_factor
+        H, W = image.shape[:2]
+        H_patch, W_patch = H // P, W // P
+        H_pad, W_pad = H_patch * P, W_patch * P
+
+        # Upsample patch segmap to full res (cv2 nearest convention,
+        # reference: extract/extract.py:679-681).
+        seg_up = np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
+                                         (H_pad, W_pad)))
+        seg_full = np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
+                                           (H, W)))
+        seg_full[:H_pad, :W_pad] = seg_up
+        if set(np.unique(seg_full).tolist()) == {0, 255}:
+            seg_full[seg_full == 255] = 1
+
+        # Pad to a bucket multiple with edge replication so bilateral
+        # neighborhoods at the border stay natural; crop the result back.
+        BH = -(-H // 32) * 32
+        BW = -(-W // 32) * 32
+        img_p = np.pad(image, ((0, BH - H), (0, BW - W), (0, 0)), mode="edge")
+        seg_p = np.pad(seg_full, ((0, BH - H), (0, BW - W)), mode="edge")
+        out = np.asarray(crf_one(jnp.asarray(img_p), jnp.asarray(seg_p),
+                                 num_classes))
+        save_segmap_png(out[:H, :W].astype(np.uint8), out_file)
+    print(f"Saved CRF segmentations to {output_dir}")
+
+
+# ------------------------------------------------------------- visualization
+
+def vis_segmentations(
+    images_list: str,
+    images_root: str,
+    segmentations_dir: str,
+    bbox_file: Optional[str] = None,
+    output_dir: str = "./vis",
+    max_images: int = 40,
+):
+    """Static HTML/PNG gallery of image / segmap overlays (the reference uses a
+    streamlit app, extract/extract.py:738-834; this environment is headless so we
+    render files instead)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    bboxes_list = load_pth(bbox_file) if bbox_file else None
+    colors = matplotlib.colormaps["tab20"].resampled(21)
+
+    rows = []
+    names = Path(images_list).read_text().splitlines()
+    for i, name in enumerate(names[:max_images]):
+        image_id = Path(name).stem
+        image = load_image_rgb(Path(images_root) / name)
+        segmap = load_segmap_png(Path(segmentations_dir) / f"{image_id}.png")
+        if set(np.unique(segmap).tolist()) == {0, 255}:
+            segmap = (segmap == 255).astype(np.uint8)
+        seg_full = np.asarray(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
+                                             image.shape[:2]))
+        ncols = 3 if bboxes_list is not None else 2
+        fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 5))
+        axes[0].imshow(image)
+        axes[0].set_title(image_id)
+        overlay = colors(seg_full % 21)[..., :3]
+        blend = 0.55 * image / 255.0 + 0.45 * overlay
+        blend[seg_full == 0] = (image / 255.0)[seg_full == 0]
+        axes[1].imshow(blend)
+        axes[1].set_title("segments")
+        if bboxes_list is not None:
+            axes[2].imshow(image)
+            for (xmin, ymin, xmax, ymax) in bboxes_list[i]["bboxes_original_resolution"]:
+                axes[2].add_patch(plt.Rectangle((xmin, ymin), xmax - xmin,
+                                                ymax - ymin, fill=False,
+                                                edgecolor="red", linewidth=2))
+            axes[2].set_title("boxes")
+        for ax in axes:
+            ax.axis("off")
+        fig.savefig(out / f"{image_id}.png", bbox_inches="tight", dpi=80)
+        plt.close(fig)
+        rows.append(f'<div><h3>{image_id}</h3><img src="{image_id}.png"/></div>')
+    (out / "index.html").write_text(
+        "<html><body>" + "\n".join(rows) + "</body></html>")
+    print(f"Wrote visualization gallery to {out / 'index.html'}")

@@ -44,7 +44,10 @@ def _to_torch(obj: Any) -> Any:
         t = type(obj)
         return t(_to_torch(v) for v in obj)
     if isinstance(obj, np.ndarray) and obj.dtype != object and obj.dtype.kind not in "US":
-        return torch.from_numpy(np.ascontiguousarray(obj))
+        arr = np.ascontiguousarray(obj)
+        if not arr.flags.writeable:
+            arr = arr.copy()
+        return torch.from_numpy(arr)
     import jax
     if isinstance(obj, jax.Array):
         return torch.from_numpy(np.ascontiguousarray(np.asarray(obj)))
