@@ -1,0 +1,138 @@
+"""DeepLabV3/V3+ segmentation heads over a DINO ViT backbone, in flax.
+
+Re-implements the reference's self-training model
+(reference: semantic-segmentation/model/model.py): a frozen-ish DINO backbone
+exposed through intermediate layers — layer 0 of the last five as 'low_level'
+and the final layer as 'out' (model.py:68-77) — feeding a DeepLabV3+ head (ASPP
++ low-level projection, model.py:80-113), with the logits bilinearly upsampled
+to the input resolution (model.py:121-126).
+
+TPU notes: NHWC; BatchNorm statistics are computed over the (possibly sharded)
+global batch under jit, so data-parallel training gets synchronized BN for free
+(the reference needs torch SyncBatchNorm, train.py:78-79).
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .vit import ViTConfig, VisionTransformer
+from ..ops.resize import resize_bilinear
+
+
+class ConvBNReLU(nn.Module):
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    use_relu: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.dilation * (self.kernel - 1) // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    padding=[(pad, pad), (pad, pad)], use_bias=False)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5)(x)
+        return nn.relu(x) if self.use_relu else x
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling (torchvision semantics): 1x1 conv, three
+    dilated 3x3 convs, a global-pooling branch, concat -> 1x1 project + dropout."""
+    out_features: int = 256
+    atrous_rates: Sequence[int] = (12, 24, 36)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        branches = [ConvBNReLU(self.out_features, kernel=1)(x, train)]
+        for rate in self.atrous_rates:
+            branches.append(
+                ConvBNReLU(self.out_features, kernel=3, dilation=rate)(x, train))
+        # Global pooling branch.
+        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        g = ConvBNReLU(self.out_features, kernel=1)(g, train)
+        g = jnp.broadcast_to(g, x.shape[:3] + (self.out_features,))
+        branches.append(g)
+        y = jnp.concatenate(branches, axis=-1)
+        y = ConvBNReLU(self.out_features, kernel=1)(y, train)
+        y = nn.Dropout(0.5, deterministic=not train)(y)
+        return y
+
+
+class DeepLabHeadV3Plus(nn.Module):
+    """(reference: semantic-segmentation/model/model.py:80-113)."""
+    num_classes: int
+    aspp_rates: Sequence[int] = (12, 24, 36)
+
+    @nn.compact
+    def __call__(self, low_level, out, train: bool = False):
+        ll = ConvBNReLU(48, kernel=1)(low_level, train)
+        y = ASPP(256, self.aspp_rates)(out, train)
+        y = resize_bilinear(y, ll.shape[1:3])
+        y = jnp.concatenate([ll, y], axis=-1)  # 48 + 256 = 304
+        y = ConvBNReLU(256, kernel=3)(y, train)
+        return nn.Conv(self.num_classes, (1, 1))(y)
+
+
+class DeepLabHead(nn.Module):
+    """Plain DeepLabV3 head (ASPP -> 3x3 -> classifier)."""
+    num_classes: int
+    aspp_rates: Sequence[int] = (12, 24, 36)
+
+    @nn.compact
+    def __call__(self, low_level, out, train: bool = False):
+        y = ASPP(256, self.aspp_rates)(out, train)
+        y = ConvBNReLU(256, kernel=3)(y, train)
+        return nn.Conv(self.num_classes, (1, 1))(y)
+
+
+class DeepLabViT(nn.Module):
+    """DINO ViT backbone + DeepLab head; logits at input resolution.
+
+    The reference adds +1 class for background (model/__init__.py:11-13); pass
+    `num_classes` already including background.
+    """
+    vit_cfg: ViTConfig
+    num_classes: int
+    head: str = "deeplabv3plus"
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, token_mask=None):
+        B, H, W, _ = x.shape
+        P = self.vit_cfg.patch_size
+        hp, wp = H // P, W // P
+        vit = VisionTransformer(self.vit_cfg, self.compute_dtype, name="backbone")
+        outs = vit(x, n_intermediates=5, token_mask=token_mask)
+        inters = outs["intermediates"]
+        # layer -5 -> low_level, final layer -> out (model.py:75-77), CLS dropped.
+        low = inters[0][:, 1:, :].reshape(B, hp, wp, -1)
+        out = inters[-1][:, 1:, :].reshape(B, hp, wp, -1)
+        head_cls = DeepLabHeadV3Plus if self.head == "deeplabv3plus" else DeepLabHead
+        logits = head_cls(self.num_classes, name="head")(low, out, train)
+        return resize_bilinear(logits, (H, W))
+
+
+def backbone_param_labels(params, unfrozen_backbone_layers: int, depth: int):
+    """Label each param 'train' or 'freeze': head always trains; backbone blocks
+    train only in the last `unfrozen_backbone_layers` (reference:
+    semantic-segmentation/train.py:48-52; -1 trains all, 0 freezes the backbone)."""
+    def label(path_tuple):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path_tuple]
+        if "backbone" not in names:
+            return "train"
+        if unfrozen_backbone_layers < 0:
+            return "train"
+        for n in names:
+            if isinstance(n, str) and n.startswith("blocks_"):
+                idx = int(n.split("_")[1])
+                if depth - idx <= unfrozen_backbone_layers:
+                    return "train"
+                return "freeze"
+        # non-block backbone params (patch embed, pos embed, final norm)
+        return "train" if unfrozen_backbone_layers < 0 else "freeze"
+    return jax.tree_util.tree_map_with_path(lambda path, _: label(path), params)

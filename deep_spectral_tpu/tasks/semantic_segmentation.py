@@ -1,0 +1,389 @@
+"""Unsupervised semantic segmentation: clustering eval + DeepLab self-training.
+
+Covers the reference's `semantic-segmentation/` subproject:
+  * `evaluate_segments` — dataset-wide Hungarian/majority-vote matching of
+    cluster ids to VOC classes and mIoU (reference: eval.py:87-159,
+    eval_utils.py) — the pixel scan is one fused confusion-matrix pass.
+  * `VOCSegmentationWithPseudolabels` — VOC-layout images + GT + pseudolabel
+    segmaps paired positionally, pseudolabels upsampled nearest to image size
+    (reference: dataset/voc.py).
+  * self-training — DeepLabV3+ over a DINO backbone trained with cross-entropy
+    against pseudolabels (reference: train.py), as a pjit-sharded optax loop:
+    AdamW + linear decay (config/train.yaml:42-57), backbone freezing
+    (train.py:48-52), gradient accumulation, optional EMA, NaN guard
+    (train.py:213-216), orbax checkpointing of the full train state
+    (replacing torch checkpoint-latest/best, train.py:141-167).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from pathlib import Path
+from typing import Any, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..models.deeplab import DeepLabViT, backbone_param_labels
+from ..models.vit import get_model_config
+from ..ops import metrics as M
+from ..ops.resize import resize_nearest
+from ..utils.image_io import IMAGENET_MEAN, IMAGENET_STD, load_image_rgb
+from ..utils.serialization import load_segmap_png
+
+VOC_NUM_CLASSES = 21  # 20 + background (reference: model/__init__.py:11-13)
+
+
+# ------------------------------------------------------------------- datasets
+
+def upsample_pseudolabel(segmap: np.ndarray, image_hw: tuple[int, int]) -> np.ndarray:
+    """Nearest-upsample a patch-level pseudolabel to image resolution, handling
+    the x8/x16/x32 grids (reference: dataset/voc.py:12-19)."""
+    return np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)), image_hw))
+
+
+class VOCSegmentationWithPseudolabels:
+    """VOC2012-layout dataset with pseudolabel segmaps.
+
+    root/
+      JPEGImages/<id>.jpg
+      SegmentationClass/<id>.png      (GT, for val)
+      ImageSets/Segmentation/val.txt
+    segments_dir/<id or positional>.png  (pseudolabels)
+
+    Semantics preserved from the reference: custom 'train' split = all
+    JPEGImages minus val stems (voc.py:78-87); segment files paired to image
+    files by SORTED POSITION, not by id (voc.py:112-131); optional label_map
+    remapping (the Hungarian matching) applied to the pseudolabel.
+    """
+
+    def __init__(self, root: str, image_set: str, segments_dir: str,
+                 label_map: Optional[dict] = None):
+        root = Path(root)
+        self.root = root
+        images_dir = root / "JPEGImages"
+        val_stems = set()
+        val_file = root / "ImageSets" / "Segmentation" / "val.txt"
+        if val_file.is_file():
+            val_stems = set(val_file.read_text().split())
+        all_images = sorted(images_dir.glob("*.jpg"))
+        if image_set == "val":
+            self.images = [p for p in all_images if p.stem in val_stems]
+        elif image_set == "train":
+            self.images = [p for p in all_images if p.stem not in val_stems]
+        else:
+            self.images = all_images
+        self.targets = [root / "SegmentationClass" / f"{p.stem}.png"
+                        for p in self.images]
+        seg_files = sorted(Path(segments_dir).iterdir())
+        assert len(seg_files) == len(self.images), \
+            f"{len(seg_files)} segmaps vs {len(self.images)} images"
+        self.segments = seg_files
+        self.label_map = label_map
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, i: int):
+        image = load_image_rgb(self.images[i])
+        seg = load_segmap_png(self.segments[i]).astype(np.int64)
+        if seg.shape != image.shape[:2]:
+            seg = upsample_pseudolabel(seg, image.shape[:2])
+        if self.label_map is not None:
+            lut = np.arange(max(int(seg.max()) + 1,
+                                max(self.label_map) + 1), dtype=np.int64)
+            for k, v in self.label_map.items():
+                lut[k] = v
+            seg = lut[seg]
+        target = None
+        if self.targets[i].is_file():
+            target = np.asarray(load_segmap_png(self.targets[i]), np.int64)
+        return image, seg, target, self.images[i].stem
+
+
+# ------------------------------------------------------------- transforms
+
+def normalize_image(img_u8: np.ndarray) -> np.ndarray:
+    return ((img_u8.astype(np.float32) / 255.0) - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def train_augment(rng: np.random.Generator, image: np.ndarray, seg: np.ndarray,
+                  resize_size: int = 256, crop_size: int = 224) -> tuple:
+    """Smallest-max-size resize + random crop + hflip + color jitter
+    (the consumed subset of the reference's albumentations stack,
+    dataset/__init__.py:10-26 — the train loop only uses one view)."""
+    from PIL import Image as PILImage
+    H, W = image.shape[:2]
+    scale = resize_size / min(H, W)
+    newH, newW = max(int(round(H * scale)), crop_size), max(int(round(W * scale)), crop_size)
+    image = np.array(PILImage.fromarray(image).resize((newW, newH), PILImage.BICUBIC))
+    seg = np.array(PILImage.fromarray(seg.astype(np.uint8)).resize(
+        (newW, newH), PILImage.NEAREST)).astype(np.int64)
+    y0 = int(rng.integers(0, newH - crop_size + 1))
+    x0 = int(rng.integers(0, newW - crop_size + 1))
+    image = image[y0:y0 + crop_size, x0:x0 + crop_size]
+    seg = seg[y0:y0 + crop_size, x0:x0 + crop_size]
+    if rng.random() < 0.5:
+        image, seg = image[:, ::-1], seg[:, ::-1]
+    if rng.random() < 0.8:  # ColorJitter(0.4, 0.4, 0.2, 0.1, p=0.8)
+        img = image.astype(np.float32)
+        img = img * (1 + rng.uniform(-0.4, 0.4))                     # brightness
+        mean = img.mean()
+        img = (img - mean) * (1 + rng.uniform(-0.4, 0.4)) + mean     # contrast
+        gray = img.mean(-1, keepdims=True)
+        img = (img - gray) * (1 + rng.uniform(-0.2, 0.2)) + gray     # saturation
+        image = np.clip(img, 0, 255).astype(np.uint8)
+    return normalize_image(np.ascontiguousarray(image)), np.ascontiguousarray(seg)
+
+
+# ------------------------------------------------------- cluster-matching eval
+
+def evaluate_segments(dataset, n_clusters: int = 21,
+                      num_classes: int = VOC_NUM_CLASSES,
+                      ignore_index: int = 255):
+    """Dataset-wide eval of pseudolabel segmaps vs GT with Hungarian (when
+    n_clusters == n_classes) or majority-vote matching
+    (reference: eval.py:87-159). Returns (miou, per_class_jaccard, match)."""
+    preds_all, gts_all = [], []
+    for i in range(len(dataset)):
+        _, seg, target, _ = dataset[i]
+        if target is None:
+            continue
+        valid = target != ignore_index
+        preds_all.append(seg[valid])
+        gts_all.append(target[valid])
+    flat_preds = np.concatenate(preds_all)
+    flat_targets = np.concatenate(gts_all)
+    if n_clusters == num_classes:
+        match = M.hungarian_match(flat_preds, flat_targets, n_clusters, num_classes)
+    else:
+        match = M.majority_vote(flat_preds, flat_targets, n_clusters, num_classes)
+    remapped = M.apply_label_map(flat_preds, match)
+    jac, miou = M.per_class_jaccard(jnp.asarray(remapped),
+                                    jnp.asarray(flat_targets), num_classes)
+    return float(miou), np.asarray(jac), match
+
+
+# ------------------------------------------------------------- train state
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    ema_params: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Any = struct.field(pytree_node=False)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Mirrors config/train.yaml's knobs."""
+    backbone: str = "dino_vits16"
+    num_classes: int = VOC_NUM_CLASSES
+    lr: float = 5e-3
+    weight_decay: float = 1e-8
+    max_train_steps: int = 5000
+    warmup_steps: int = 0
+    unfrozen_backbone_layers: int = 1
+    gradient_accumulation_steps: int = 1
+    clip_grad_norm: Optional[float] = None
+    use_ema: bool = False
+    ema_decay: float = 0.999
+    crop_size: int = 224
+    resize_size: int = 256
+    batch_size: int = 16
+    seed: int = 1
+
+
+def build_model(cfg: TrainConfig) -> DeepLabViT:
+    vit_cfg = cfg.backbone if not isinstance(cfg.backbone, str) \
+        else get_model_config(cfg.backbone)
+    return DeepLabViT(vit_cfg, cfg.num_classes)
+
+
+def create_train_state(cfg: TrainConfig, model: DeepLabViT,
+                       backbone_params: Optional[dict] = None) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.seed)
+    dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    params = variables["params"]
+    if backbone_params is not None:
+        params = dict(params)
+        params["backbone"] = backbone_params["params"]
+        params = FrozenDict(params) if isinstance(variables["params"], FrozenDict) else params
+    batch_stats = variables.get("batch_stats", {})
+
+    schedule = optax.warmup_linear_schedule(
+        0.0, cfg.lr, cfg.warmup_steps, cfg.max_train_steps) \
+        if cfg.warmup_steps else optax.linear_schedule(
+            cfg.lr, 0.0, cfg.max_train_steps)
+    steps = []
+    if cfg.clip_grad_norm:
+        steps.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
+    steps.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
+    tx = optax.chain(*steps)
+    labels = backbone_param_labels(params, cfg.unfrozen_backbone_layers,
+                                   model.vit_cfg.depth)
+    tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    opt_state = tx.init(params)
+    ema = params if cfg.use_ema else None
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=batch_stats, opt_state=opt_state,
+                      ema_params=ema, tx=tx, apply_fn=model.apply)
+
+
+@partial(jax.jit, static_argnames=("use_ema", "ema_decay"), donate_argnums=(0,))
+def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
+               rng: jax.Array, use_ema: bool = False, ema_decay: float = 0.999):
+    """One optimization step: CE vs pseudolabels (reference: train.py:204-228).
+    Shard `images`/`labels` over the mesh's data axis for DP; BN stats reduce
+    across the global batch automatically."""
+
+    def loss_fn(params):
+        logits, mutated = state.apply_fn(
+            {"params": params, "batch_stats": state.batch_stats},
+            images, train=True, mutable=["batch_stats"],
+            rngs={"dropout": rng})
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        return jnp.mean(ce), (mutated["batch_stats"], logits)
+
+    (loss, (new_bs, logits)), grads = jax.value_and_grad(
+        loss_fn, has_aux=True)(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    # NaN guard: keep old state on a NaN loss (reference: train.py:213-216).
+    ok = jnp.isfinite(loss)
+    new_params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              new_params, state.params)
+    ema = state.ema_params
+    if use_ema and ema is not None:
+        ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                           ema, new_params)
+    acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+    new_state = state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_bs, opt_state=new_opt,
+                              ema_params=ema)
+    return new_state, {"loss": loss, "acc": acc}
+
+
+@jax.jit
+def eval_step(state: TrainState, images: jax.Array) -> jax.Array:
+    logits = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False)
+    return jnp.argmax(logits, axis=-1)
+
+
+def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSES,
+                   ignore_index: int = 255, max_images: Optional[int] = None):
+    """Flat-pixel mIoU of model predictions vs GT, assuming the matching was
+    already applied as the dataset label_map (reference: train.py:278-348,
+    batch-size-1 semantics)."""
+    preds_all, gts_all = [], []
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+    for i in range(n):
+        image, _, target, _ = dataset[i]
+        if target is None:
+            continue
+        x = normalize_image(image)[None]
+        # Pad to a multiple of the patch size for the ViT.
+        P = 16
+        H, W = x.shape[1:3]
+        Hp, Wp = (H // P) * P, (W // P) * P
+        pred = np.asarray(eval_step(state, jnp.asarray(x[:, :Hp, :Wp])))[0]
+        target_c = target[:Hp, :Wp]
+        valid = target_c != ignore_index
+        preds_all.append(pred[valid])
+        gts_all.append(target_c[valid])
+    flat_preds = np.concatenate(preds_all)
+    flat_targets = np.concatenate(gts_all)
+    jac, miou = M.per_class_jaccard(jnp.asarray(flat_preds),
+                                    jnp.asarray(flat_targets), num_classes)
+    return float(miou), np.asarray(jac)
+
+
+# ----------------------------------------------------------- checkpointing
+
+def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
+                    keep_best: bool = False):
+    """Orbax checkpoint of the full train state (reference torch checkpoints:
+    train.py:141-156)."""
+    import orbax.checkpoint as ocp
+    path = Path(ckpt_dir).absolute() / ("best" if keep_best else f"step_{step}")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"params": jax.tree.map(np.asarray, state.params),
+                      "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+                      "step": int(state.step)}, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
+    import orbax.checkpoint as ocp
+    path = Path(ckpt_dir_or_path).absolute()
+    if not (path / "_CHECKPOINT_METADATA").exists():
+        steps = sorted(path.glob("step_*"), key=lambda p: int(p.name.split("_")[1]))
+        path = steps[-1] if steps else path / "best"
+    ckptr = ocp.StandardCheckpointer()
+    target = {"params": jax.tree.map(np.asarray, state.params),
+              "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+              "step": 0}
+    restored = ckptr.restore(path, target)
+    return state.replace(params=jax.tree.map(jnp.asarray, restored["params"]),
+                         batch_stats=jax.tree.map(jnp.asarray,
+                                                  restored["batch_stats"]),
+                         step=jnp.asarray(restored["step"], jnp.int32))
+
+
+# ----------------------------------------------------------------- train loop
+
+def train(cfg: TrainConfig, dataset_train, dataset_val=None,
+          ckpt_dir: Optional[str] = None, eval_every: int = 1000,
+          log_every: int = 50, max_steps: Optional[int] = None,
+          backbone_params: Optional[dict] = None):
+    """Self-training loop (reference: train.py:136-254). Returns final state and
+    the best validation mIoU."""
+    model = build_model(cfg)
+    state = create_train_state(cfg, model, backbone_params)
+    rng = np.random.default_rng(cfg.seed)
+    jrng = jax.random.PRNGKey(cfg.seed)
+    steps = max_steps or cfg.max_train_steps
+    best_miou = -1.0
+    order = rng.permutation(len(dataset_train))
+    cursor = 0
+    for step in range(steps):
+        ims, segs = [], []
+        for _ in range(cfg.batch_size):
+            if cursor >= len(order):
+                order = rng.permutation(len(dataset_train))
+                cursor = 0
+            image, seg, _, _ = dataset_train[int(order[cursor])]
+            cursor += 1
+            im, sg = train_augment(rng, image, seg, cfg.resize_size, cfg.crop_size)
+            ims.append(im)
+            segs.append(sg)
+        jrng, sub = jax.random.split(jrng)
+        state, logs = train_step(state, jnp.asarray(np.stack(ims)),
+                                 jnp.asarray(np.stack(segs)), sub,
+                                 use_ema=cfg.use_ema, ema_decay=cfg.ema_decay)
+        if log_every and step % log_every == 0:
+            print(f"step {step}: loss={float(logs['loss']):.4f} "
+                  f"acc={float(logs['acc']):.4f}")
+        if dataset_val is not None and eval_every and (step + 1) % eval_every == 0:
+            miou, _ = evaluate_model(state, dataset_val, cfg.num_classes)
+            print(f"step {step}: val mIoU={miou:.4f}")
+            if miou > best_miou:
+                best_miou = miou
+                if ckpt_dir:
+                    save_checkpoint(ckpt_dir, state, step + 1, keep_best=True)
+        if ckpt_dir and (step + 1) % max(eval_every, 1000) == 0:
+            save_checkpoint(ckpt_dir, state, step + 1)
+    return state, best_miou
