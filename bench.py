@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Benchmark: feature-extraction + eigendecomposition throughput (the pipeline's
+hot path, = reference `extract_features` + `extract_eigs`).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+The workload is the BASELINE.json primary config: DINO ViT-S/16 dense patch
+features followed by the K=5 smallest generalized Laplacian eigenpairs per
+image, on VOC-shaped inputs (480x480 -> 30x30 = 900-node graphs), batched.
+
+`vs_baseline` compares against the reference's own method measured on this host:
+torch (CPU) ViT-S/16 forward at batch size 1 (the reference runs batch_size=1,
+README.md:65) + scipy ARPACK shift-invert eigsh per image
+(extract/extract.py:227-234). The baseline number is cached in
+.bench_baseline.json after first measurement.
+"""
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BATCH = 16
+H = W = 480
+K = 5
+BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
+
+
+def measure_tpu() -> float:
+    import jax
+    import jax.numpy as jnp
+    from deep_spectral_tpu.models.convert import load_params
+    from deep_spectral_tpu.models.vit import extract_patch_keys
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+
+    model, params = load_params("dino_vits16")
+    n_tokens = (H // 16) * (W // 16)
+
+    @jax.jit
+    def step(images, mask):
+        k = extract_patch_keys(model, params, images, token_mask=mask)
+        return spectral_decompose_batched(k, mask, K=K, which_matrix="laplacian")
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((BATCH, H, W, 3)).astype(np.float32))
+    mask = jnp.ones((BATCH, n_tokens), dtype=bool)
+
+    out = step(images, mask)  # compile
+    jax.block_until_ready(out)
+    n_iters = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = step(images, mask)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return BATCH * n_iters / dt
+
+
+def measure_reference_baseline(n_images: int = 3) -> float:
+    """Reference-method throughput on this host: torch-CPU ViT-S/16 forward
+    (batch 1) + scipy ARPACK generalized shift-invert eigsh per image."""
+    import torch
+    import torch.nn as nn
+    from scipy.sparse.linalg import eigsh
+
+    class Block(nn.Module):
+        def __init__(self, d, h):
+            super().__init__()
+            self.n1, self.n2 = nn.LayerNorm(d, eps=1e-6), nn.LayerNorm(d, eps=1e-6)
+            self.qkv, self.proj = nn.Linear(d, 3 * d), nn.Linear(d, d)
+            self.fc1, self.fc2 = nn.Linear(d, 4 * d), nn.Linear(4 * d, d)
+            self.h = h
+
+        def forward(self, x):
+            B, T, D = x.shape
+            q, k, v = self.qkv(self.n1(x)).reshape(B, T, 3, self.h, D // self.h) \
+                .permute(2, 0, 3, 1, 4)
+            a = (q @ k.transpose(-2, -1)) * (D // self.h) ** -0.5
+            x = x + self.proj((a.softmax(-1) @ v).transpose(1, 2).reshape(B, T, D))
+            return x + self.fc2(torch.nn.functional.gelu(self.fc1(self.n2(x))))
+
+    d, heads, depth, P = 384, 6, 12, 16
+    blocks = nn.Sequential(*[Block(d, heads) for _ in range(depth)]).eval()
+    patch = nn.Conv2d(3, d, P, P)
+    n_tokens = (H // P) * (W // P)
+
+    rng = np.random.default_rng(0)
+    with torch.no_grad():
+        t0 = time.perf_counter()
+        for _ in range(n_images):
+            img = torch.from_numpy(
+                rng.standard_normal((1, 3, H, W)).astype(np.float32))
+            tokens = patch(img).flatten(2).transpose(1, 2)
+            feats = blocks(tokens)[0].numpy()
+            f = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+            Wm = f @ f.T
+            Wm = Wm * (Wm > 0)
+            Wm = Wm / Wm.max()
+            dvec = Wm.sum(1)
+            dvec[dvec < 1e-12] = 1.0
+            D = np.diag(dvec)
+            eigsh(D - Wm, k=K, sigma=0, which="LM", M=D)
+        dt = time.perf_counter() - t0
+    return n_images / dt
+
+
+def main():
+    if BASELINE_CACHE.is_file():
+        baseline = json.loads(BASELINE_CACHE.read_text())["images_per_sec"]
+    else:
+        baseline = measure_reference_baseline()
+        BASELINE_CACHE.write_text(json.dumps(
+            {"images_per_sec": baseline,
+             "method": "torch-cpu vits16 fwd bs=1 + scipy ARPACK eigsh"}))
+    value = measure_tpu()
+    print(json.dumps({
+        "metric": "feature+eigs throughput (dino_vits16, 480x480, K=5)",
+        "value": round(value, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
