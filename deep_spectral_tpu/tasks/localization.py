@@ -148,11 +148,12 @@ def lost(feats: np.ndarray, dims: tuple[int, int], scales: tuple[int, int],
          image_hw: tuple[int, int], k_patches: int = 100) -> np.ndarray:
     """LOST box prediction (reference: object_discovery.py:129-227). The box is
     the connected component of {M > 0} that contains the seed."""
-    import scipy.ndimage as ndi
+    from ..utils import native_cc
     w_featmap, h_featmap = dims
     Msum, seed, _, _ = _lost_core(jnp.asarray(feats, jnp.float32), k_patches)
     correl = np.asarray(Msum).reshape(w_featmap, h_featmap)
-    labeled, _ = ndi.label(correl > 0.0)
+    # 4-connectivity, matching scipy.ndimage.label's default structure.
+    labeled, _ = native_cc.cc_label(correl > 0.0, connectivity=1)
     cc = labeled[np.unravel_index(int(seed), (w_featmap, h_featmap))]
     if cc == 0:
         raise ValueError("LOST seed fell in the background component")
@@ -170,7 +171,7 @@ def dino_seg(attn: np.ndarray, dims: tuple[int, int], patch_size: int,
              head: int = 0) -> np.ndarray:
     """CLS-attention mass thresholding at 0.6, biggest component box
     (reference: object_discovery.py:230-277)."""
-    import scipy.ndimage as ndi
+    from ..utils import native_cc
     w_featmap, h_featmap = dims
     nh = attn.shape[1]
     att = np.asarray(attn)[0, :, 0, 1:].reshape(nh, -1)
@@ -182,7 +183,7 @@ def dino_seg(attn: np.ndarray, dims: tuple[int, int], patch_size: int,
     idx2 = np.argsort(idx, axis=1)
     th = np.stack([th_attn[h][idx2[h]] for h in range(nh)])
     th = th.reshape(nh, w_featmap, h_featmap).astype(np.float32)
-    labeled, _ = ndi.label(th[head])
+    labeled, _ = native_cc.cc_label(th[head] > 0, connectivity=1)
     sizes = [np.sum(labeled == c) for c in range(labeled.max())]
     biggest = (np.argmax(sizes[1:]) + 1) if len(sizes) > 1 else 0
     ys, xs = np.where(labeled == biggest)
