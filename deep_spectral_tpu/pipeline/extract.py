@@ -194,6 +194,7 @@ def extract_eigs(
     multiprocessing: int = 0,  # accepted for CLI parity; batching replaces it
     batch_size: int = 8,
     bucket_granularity: int = 4,
+    solver: str = "auto",  # 'eigh' (exact) | 'lobpcg' (fast) | 'auto'
 ):
     """Laplacian/affinity eigendecomposition per image
     (reference: extract/extract.py:119-280), batched on device."""
@@ -255,7 +256,7 @@ def extract_eigs(
             None if color_Ws is None else jnp.asarray(color_Ws),
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
-            image_color_lambda=image_color_lambda,
+            image_color_lambda=image_color_lambda, solver=solver,
         )
         evals, evecs = np.asarray(evals), np.asarray(evecs)
         for i, (image_id, out_file, h_lr, w_lr) in enumerate(metas):
