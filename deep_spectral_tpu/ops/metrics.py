@@ -96,6 +96,47 @@ def bbox_iou(box1: jax.Array, box2: jax.Array) -> jax.Array:
     return inter / jnp.maximum(a1 + a2 - inter, 1e-16)
 
 
+def bbox_iou_variants(box1: jax.Array, box2: jax.Array, *, x1y1x2y2: bool = True,
+                      giou: bool = False, diou: bool = False,
+                      ciou: bool = False, eps: float = 1e-16) -> jax.Array:
+    """IoU / GIoU / DIoU / CIoU between box1 (4,) and box2 (..., 4), the
+    yolov5-style family the reference exposes
+    (reference: object-localization/datasets.py:269-321)."""
+    b1 = box1.astype(jnp.float32)
+    b2 = box2.astype(jnp.float32)
+    if not x1y1x2y2:  # xywh -> xyxy
+        b1 = jnp.stack([b1[0] - b1[2] / 2, b1[1] - b1[3] / 2,
+                        b1[0] + b1[2] / 2, b1[1] + b1[3] / 2])
+        b2 = jnp.stack([b2[..., 0] - b2[..., 2] / 2, b2[..., 1] - b2[..., 3] / 2,
+                        b2[..., 0] + b2[..., 2] / 2, b2[..., 1] + b2[..., 3] / 2],
+                       axis=-1)
+    ix1 = jnp.maximum(b1[0], b2[..., 0])
+    iy1 = jnp.maximum(b1[1], b2[..., 1])
+    ix2 = jnp.minimum(b1[2], b2[..., 2])
+    iy2 = jnp.minimum(b1[3], b2[..., 3])
+    inter = jnp.clip(ix2 - ix1, 0) * jnp.clip(iy2 - iy1, 0)
+    w1, h1 = b1[2] - b1[0], b1[3] - b1[1]
+    w2, h2 = b2[..., 2] - b2[..., 0], b2[..., 3] - b2[..., 1]
+    union = w1 * h1 + w2 * h2 - inter + eps
+    iou = inter / union
+    if not (giou or diou or ciou):
+        return iou
+    cw = jnp.maximum(b1[2], b2[..., 2]) - jnp.minimum(b1[0], b2[..., 0])
+    ch = jnp.maximum(b1[3], b2[..., 3]) - jnp.minimum(b1[1], b2[..., 1])
+    if giou:
+        c_area = cw * ch + eps
+        return iou - (c_area - union) / c_area
+    c2 = cw ** 2 + ch ** 2 + eps
+    rho2 = (((b2[..., 0] + b2[..., 2]) - (b1[0] + b1[2])) ** 2 +
+            ((b2[..., 1] + b2[..., 3]) - (b1[1] + b1[3])) ** 2) / 4.0
+    if diou:
+        return iou - rho2 / c2
+    v = (4 / jnp.pi ** 2) * (jnp.arctan(w2 / (h2 + eps)) -
+                             jnp.arctan(w1 / (h1 + eps))) ** 2
+    alpha = v / (1 - iou + v + eps)
+    return iou - (rho2 / c2 + v * alpha)
+
+
 def corloc_hit(pred_box: jax.Array, gt_boxes: jax.Array,
                gt_valid: Optional[jax.Array] = None) -> jax.Array:
     """1.0 iff pred IoU >= 0.5 with any valid GT box
