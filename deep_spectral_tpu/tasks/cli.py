@@ -1,0 +1,144 @@
+"""Task-driver CLIs.
+
+  python -m deep_spectral_tpu.tasks.cli localization \
+      --eigenseg --precomputed_eigs_dir E --dataset VOC12 --dataset_root R
+      (argparse flags mirroring object-localization/main.py:26-131)
+
+  python -m deep_spectral_tpu.tasks.cli object_segmentation \
+      --config eval.yaml predictions.root=... datasets.ECSSD.images_dir=...
+
+  python -m deep_spectral_tpu.tasks.cli semantic_eval  [cfg overrides]
+  python -m deep_spectral_tpu.tasks.cli semantic_train [cfg overrides]
+      (YAML + key=value overrides, mirroring the reference's hydra commands)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+def _localization(argv):
+    from . import localization as L
+    p = argparse.ArgumentParser(prog="localization")
+    p.add_argument("--dataset", default="VOC12",
+                   choices=["VOC07", "VOC12", "COCO20k"])
+    p.add_argument("--set", default="trainval", dest="image_set")
+    p.add_argument("--dataset_root", required=True)
+    p.add_argument("--eigenseg", action="store_true")
+    p.add_argument("--precomputed_eigs_dir", default=None)
+    p.add_argument("--which_matrix", default="laplacian")
+    p.add_argument("--remove_hards", action="store_true")
+    p.add_argument("--output_dir", default="./outputs/localization")
+    a = p.parse_args(argv)
+    year = {"VOC07": "2007", "VOC12": "2012"}.get(a.dataset, "2012")
+    pairs = L.load_voc_detection(a.dataset_root, year=year, image_set=a.image_set)
+    if not a.eigenseg or a.precomputed_eigs_dir is None:
+        p.error("round-1 CLI supports --eigenseg with --precomputed_eigs_dir; "
+                "LOST/dino_seg are available as library calls")
+    score, _, _ = L.evaluate_corloc(
+        pairs, a.precomputed_eigs_dir, which_matrix=a.which_matrix,
+        output_dir=a.output_dir, remove_hards=a.remove_hards)
+    return score
+
+
+def _object_segmentation(argv):
+    from ..utils.config import load_config
+    from . import object_segmentation as OS
+    p = argparse.ArgumentParser(prog="object_segmentation")
+    p.add_argument("--config", default=str(CONFIG_DIR / "object_segmentation_eval.yaml"))
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args(argv)
+    cfg = load_config(a.config, a.overrides)
+    results = {}
+    for name, ds in cfg.datasets.items():
+        if not ds.get("images_dir"):
+            continue
+        pred_dir = Path(cfg.predictions.root) / cfg.predictions.get("run", "") / name
+        if not pred_dir.is_dir():
+            pred_dir = Path(cfg.predictions.root)
+        print(f"== {name} ==")
+        results[name] = OS.evaluate_predictions(
+            ds.images_dir, ds.labels_dir, pred_dir,
+            downsample=cfg.predictions.get("downsample"),
+            crop=bool(ds.get("crop", False)))
+    return results
+
+
+def _semantic_eval(argv):
+    from ..utils.config import load_config
+    from . import semantic_segmentation as SS
+    p = argparse.ArgumentParser(prog="semantic_eval")
+    p.add_argument("--config", default=str(CONFIG_DIR / "semantic_eval.yaml"))
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args(argv)
+    cfg = load_config(a.config, a.overrides)
+    ds = SS.VOCSegmentationWithPseudolabels(
+        cfg.data.root, cfg.data.image_set, cfg.segments_dir)
+    miou, jac, match = SS.evaluate_segments(
+        ds, n_clusters=cfg.n_clusters, num_classes=cfg.data.num_classes + 1)
+    print(f"mIoU: {miou * 100:.2f}")
+    print(f"matching: {match}")
+    if cfg.get("visualize"):
+        SS.visualize_overlays(ds, match, Path(cfg.output_dir) / "vis",
+                              max_images=int(cfg.visualize))
+    return miou, match
+
+
+def _semantic_train(argv):
+    from ..utils.config import load_config
+    from . import semantic_segmentation as SS
+    p = argparse.ArgumentParser(prog="semantic_train")
+    p.add_argument("--config", default=str(CONFIG_DIR / "semantic_train.yaml"))
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args(argv)
+    cfg = load_config(a.config, a.overrides)
+    matching = None
+    if cfg.get("matching"):
+        matching = dict(eval(str(cfg.matching)))  # reference semantics
+        print(f"Using matching: {matching}")
+    train_ds = SS.VOCSegmentationWithPseudolabels(
+        cfg.data.root, cfg.data.train_image_set, cfg.segments_dir,
+        label_map=matching)
+    val_ds = SS.VOCSegmentationWithPseudolabels(
+        cfg.data.root, cfg.data.val_image_set, cfg.segments_dir,
+        label_map=matching)
+    tcfg = SS.TrainConfig(
+        backbone=cfg.backbone, num_classes=cfg.data.num_classes + 1,
+        lr=cfg.lr, weight_decay=cfg.optimizer.weight_decay,
+        max_train_steps=cfg.max_train_steps,
+        warmup_steps=cfg.scheduler.warmup_steps,
+        unfrozen_backbone_layers=cfg.unfrozen_backbone_layers,
+        gradient_accumulation_steps=cfg.gradient_accumulation_steps,
+        clip_grad_norm=cfg.optimizer.clip_grad_norm,
+        use_ema=cfg.ema.use_ema, ema_decay=cfg.ema.decay,
+        crop_size=cfg.data.transform.crop_size,
+        resize_size=cfg.data.transform.resize_size,
+        batch_size=cfg.data.loader.batch_size, seed=cfg.seed)
+    state, best = SS.train(tcfg, train_ds, val_ds,
+                           ckpt_dir=cfg.checkpoint.dir,
+                           eval_every=cfg.eval_every)
+    print(f"best mIoU: {best:.4f}")
+    return best
+
+
+TASKS = {
+    "localization": _localization,
+    "object_segmentation": _object_segmentation,
+    "semantic_eval": _semantic_eval,
+    "semantic_train": _semantic_train,
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] not in TASKS:
+        print(f"usage: python -m deep_spectral_tpu.tasks.cli <{'/'.join(TASKS)}> ...")
+        return 2
+    return TASKS[argv[0]](argv[1:])
+
+
+if __name__ == "__main__":
+    main()

@@ -169,6 +169,70 @@ def evaluate_segments(dataset, n_clusters: int = 21,
     return float(miou), np.asarray(jac), match
 
 
+def visualize_overlays(dataset, match, output_dir, max_images: int = 40):
+    """Render pseudolabel/GT overlay images (the reference's label2rgb
+    visualization of 40 images, eval.py:57-84), as PNG files."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    cmap = matplotlib.colormaps["tab20"].resampled(21)
+    lut = None
+    if match is not None:
+        lut = np.arange(max(m[0] for m in match) + 1)
+        for pred_c, gt_c in match:
+            lut[pred_c] = gt_c
+    n = min(len(dataset), max_images)
+    for i in range(n):
+        image, seg, target, stem = dataset[i]
+        if lut is not None:
+            seg = lut[np.clip(seg, 0, len(lut) - 1)]
+        ncols = 3 if target is not None else 2
+        fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 5))
+        axes[0].imshow(image)
+        axes[0].set_title(stem)
+        overlay = cmap(seg % 21)[..., :3]
+        blend = 0.55 * image / 255.0 + 0.45 * overlay
+        blend[seg == 0] = (image / 255.0)[seg == 0]
+        axes[1].imshow(blend)
+        axes[1].set_title("pred")
+        if target is not None:
+            gt_overlay = cmap(np.clip(target, 0, 20) % 21)[..., :3]
+            gt_blend = 0.55 * image / 255.0 + 0.45 * gt_overlay
+            gt_blend[target == 0] = (image / 255.0)[target == 0]
+            axes[2].imshow(gt_blend)
+            axes[2].set_title("gt")
+        for ax in axes:
+            ax.axis("off")
+        fig.savefig(out / f"{stem}.png", bbox_inches="tight", dpi=80)
+        plt.close(fig)
+    print(f"Wrote {n} overlays to {out}")
+
+
+def generate_predictions(state: "TrainState", dataset, output_dir,
+                         max_images: Optional[int] = None):
+    """Dump model predictions (and GT when present) as PNGs — the reference's
+    `generate` job (train.py:351-388)."""
+    out = Path(output_dir)
+    (out / "pred").mkdir(parents=True, exist_ok=True)
+    (out / "gt").mkdir(parents=True, exist_ok=True)
+    from ..utils.serialization import save_segmap_png
+    n = len(dataset) if max_images is None else min(len(dataset), max_images)
+    for i in range(n):
+        image, _, target, stem = dataset[i]
+        x = normalize_image(image)[None]
+        P = 16
+        H, W = x.shape[1:3]
+        pred = np.asarray(eval_step(state, jnp.asarray(
+            x[:, : (H // P) * P, : (W // P) * P])))[0]
+        save_segmap_png(pred.astype(np.uint8), out / "pred" / f"{stem}.png")
+        if target is not None:
+            save_segmap_png(np.asarray(target, np.uint8), out / "gt" / f"{stem}.png")
+    print(f"Wrote {n} predictions to {out}")
+
+
 # ------------------------------------------------------------- train state
 
 class TrainState(struct.PyTreeNode):
