@@ -141,7 +141,9 @@ def extract_features(
              if not (Path(output_dir) / f"{Path(rels[x[0]]).stem}.pth").is_file()]
     done = [0]
 
-    def process(bucket: bucketing.Bucket, batch_items):
+    def prepare(bucket: bucketing.Bucket, batch_items):
+        """Host side: decode + normalize + floor-crop + pad (runs in the
+        prefetch pool, overlapped with the device forward)."""
         imgs, metas = [], []
         for idx, path in batch_items:
             rgb = load_image_rgb(path)
@@ -153,6 +155,10 @@ def extract_features(
         padded, extents = bucketing.pad_batch_images(
             imgs, (bucket.h * P, bucket.w * P), batch_size)
         masks = bucketing.token_masks(extents, bucket, P)
+        return padded, masks, extents, metas
+
+    def consume(bucket: bucketing.Bucket, batch_items, prepared):
+        padded, masks, extents, metas = prepared
         k = fwd(jnp.asarray(padded), jnp.asarray(masks))
         k = np.asarray(k, dtype=np.float32)
         for i, (idx, rel, shape) in enumerate(metas):
@@ -170,8 +176,9 @@ def extract_features(
             writer.submit(save_pth, out, Path(output_dir) / f"{out['id']}.pth")
         done[0] += len(metas)
 
-    bucketing.run_bucketed(items, size_of, process, batch_size=batch_size,
-                           granularity=bucket_granularity)
+    bucketing.run_bucketed_prefetched(
+        items, size_of, prepare, consume, batch_size=batch_size,
+        granularity=bucket_granularity)
     writer.close()
     print(f"Saved {done[0]} features to {output_dir}")
 
@@ -201,38 +208,42 @@ def extract_eigs(
     del multiprocessing
     make_output_dir(output_dir)
 
-    files = sorted(Path(features_dir).iterdir())
+    def lr_grid_of(s) -> Tuple[int, int]:
+        f = s.P if image_downsample_factor is None else image_downsample_factor
+        return s.H_pad // f, s.W_pad // f
+
+    # Size scan: read each feature dict once for its grid shape only, keep
+    # paths (not tensors) so memory stays O(1) in dataset size.
     pending = []
-    for f in files:
+    for f in sorted(Path(features_dir).iterdir()):
         d = load_pth(f)
         image_id = d["file"][:-4]
         out_file = Path(output_dir) / f"{image_id}.pth"
         if out_file.is_file():
             continue
-        pending.append((d, image_id, out_file))
+        pending.append((f, image_id, out_file, lr_grid_of(get_image_sizes(d))))
 
     writer = _AsyncWriter()
 
-    def lr_grid(d) -> Tuple[int, int]:
-        s = get_image_sizes(d)
-        f = s.P if image_downsample_factor is None else image_downsample_factor
-        return s.H_pad // f, s.W_pad // f
-
-    def process(bucket: bucketing.Bucket, batch_items):
+    def prepare(bucket: bucketing.Bucket, batch_items):
+        """Host side: reload feature dicts, upsample to the lr grid, pad, and
+        load/resize color images (prefetch pool, overlapped with the solve)."""
         B = batch_size
-        D = batch_items[0][0][which_features].shape[-1]
-        feats = np.zeros((B, bucket.tokens, D), np.float32)
-        color_Ws = (np.zeros((B, bucket.tokens, bucket.tokens), np.float32)
-                    if image_color_lambda > 0 else None)
+        feats = None
+        imgs = (np.zeros((B, bucket.h, bucket.w, 3), np.float32)
+                if image_color_lambda > 0 else None)
         extents = np.zeros((B, 2), np.int32)
         metas = []
-        for i, (d, image_id, out_file) in enumerate(batch_items):
+        for i, (fpath, image_id, out_file, (h_lr, w_lr)) in enumerate(batch_items):
+            d = load_pth(fpath)
             s = get_image_sizes(d)
-            h_lr, w_lr = lr_grid(d)
+            D = d[which_features].shape[-1]
+            if feats is None:
+                feats = np.zeros((B, bucket.tokens, D), np.float32)
             fi = np.asarray(d[which_features], np.float32).reshape(-1, D)
             if (s.H_patch, s.W_patch) != (h_lr, w_lr):
                 # Bilinear upsample patch features to the lr grid
-                # (reference: extract/extract.py:184-188).
+                # (reference: extract/extract.py:184-188); torch-exact kernel.
                 fi = np.asarray(resize_bilinear(
                     jnp.asarray(fi.reshape(s.H_patch, s.W_patch, D)),
                     (h_lr, w_lr))).reshape(-1, D)
@@ -240,20 +251,23 @@ def extract_eigs(
             grid[:h_lr, :w_lr] = fi.reshape(h_lr, w_lr, D)
             feats[i] = grid.reshape(-1, D)
             extents[i] = (h_lr, w_lr)
-            if color_Ws is not None:
-                img_lr = load_image_resized(
+            if imgs is not None:
+                imgs[i, :h_lr, :w_lr] = load_image_resized(
                     Path(images_root) / f"{image_id}.jpg", (w_lr, h_lr))
-                img_pad = np.zeros((bucket.h, bucket.w, 3), np.float32)
-                img_pad[:h_lr, :w_lr] = img_lr
-                m = bucketing.grid_masks(extents[i:i + 1], (bucket.h, bucket.w))[0]
-                aff = (knn_affinity if which_color_matrix == "knn" else rw_affinity)
-                color_Ws[i] = np.asarray(aff(jnp.asarray(img_pad), mask=jnp.asarray(m)))
             metas.append((image_id, out_file, h_lr, w_lr))
-
         masks = bucketing.grid_masks(extents, (bucket.h, bucket.w))
+        return feats, imgs, masks, metas
+
+    def consume(bucket: bucketing.Bucket, batch_items, prepared):
+        feats, imgs, masks, metas = prepared
+        color_W = None
+        if imgs is not None:
+            aff_batched = jax.vmap(
+                lambda im, m: (knn_affinity if which_color_matrix == "knn"
+                               else rw_affinity)(im, mask=m))
+            color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
         evals, evecs = spectral_decompose_batched(
-            jnp.asarray(feats), jnp.asarray(masks),
-            None if color_Ws is None else jnp.asarray(color_Ws),
+            jnp.asarray(feats), jnp.asarray(masks), color_W,
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
@@ -267,8 +281,8 @@ def extract_eigs(
             }
             writer.submit(save_pth, out, out_file)
 
-    bucketing.run_bucketed(
-        pending, lambda it: lr_grid(it[0]), process,
+    bucketing.run_bucketed_prefetched(
+        pending, lambda it: it[3], prepare, consume,
         batch_size=batch_size, granularity=bucket_granularity)
     writer.close()
     print(f"Saved eigs to {output_dir}")

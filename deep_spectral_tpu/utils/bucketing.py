@@ -93,6 +93,23 @@ def grid_masks(extents_lr: np.ndarray, bucket_hw: tuple[int, int]) -> np.ndarray
     return masks.reshape(B, -1)
 
 
+def make_batch_plan(
+    items: Sequence,
+    size_fn: Callable[[object], tuple[int, int]],
+    *,
+    batch_size: int,
+    granularity: int = 8,
+) -> list[tuple[Bucket, list]]:
+    """Largest-bucket-first batch plan: [(bucket, item_sublist), ...]."""
+    sizes = [size_fn(it) for it in items]
+    groups = group_into_buckets(sizes, granularity)
+    plan = []
+    for bucket in sorted(groups, key=lambda b: -b.tokens):
+        for idx_batch in batches(groups[bucket], batch_size):
+            plan.append((bucket, [items[i] for i in idx_batch]))
+    return plan
+
+
 def run_bucketed(
     items: Sequence,
     size_fn: Callable[[object], tuple[int, int]],
@@ -104,8 +121,40 @@ def run_bucketed(
     """Group `items` by bucket and invoke `process_batch(bucket, item_sublist)`.
 
     Buckets are processed largest-first so the biggest compile happens up front."""
-    sizes = [size_fn(it) for it in items]
-    groups = group_into_buckets(sizes, granularity)
-    for bucket in sorted(groups, key=lambda b: -b.tokens):
-        for idx_batch in batches(groups[bucket], batch_size):
-            process_batch(bucket, [items[i] for i in idx_batch])
+    for bucket, batch_items in make_batch_plan(items, size_fn,
+                                               batch_size=batch_size,
+                                               granularity=granularity):
+        process_batch(bucket, batch_items)
+
+
+def run_bucketed_prefetched(
+    items: Sequence,
+    size_fn: Callable[[object], tuple[int, int]],
+    prepare_batch: Callable[[Bucket, list], object],
+    consume_batch: Callable[[Bucket, list, object], None],
+    *,
+    batch_size: int,
+    granularity: int = 8,
+    depth: int = 2,
+    workers: int = 4,
+) -> None:
+    """Pipelined variant: `prepare_batch` (host IO: decode/normalize/pad) runs in
+    a thread pool up to `depth` batches ahead of `consume_batch` (device step).
+
+    This is the input pipeline that replaces the reference's
+    DataLoader(num_workers=8) + per-image loop: host decode overlaps device
+    compute instead of serializing with it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    plan = make_batch_plan(items, size_fn, batch_size=batch_size,
+                           granularity=granularity)
+    with ThreadPoolExecutor(workers) as pool:
+        futures = {}
+        for i in range(min(depth, len(plan))):
+            futures[i] = pool.submit(prepare_batch, *plan[i])
+        for i, (bucket, batch_items) in enumerate(plan):
+            prepared = futures.pop(i).result()
+            nxt = i + depth
+            if nxt < len(plan):
+                futures[nxt] = pool.submit(prepare_batch, *plan[nxt])
+            consume_batch(bucket, batch_items, prepared)
