@@ -5,3 +5,4 @@ from .sharded import (  # noqa: F401
     sharded_patch_features,
     row_sharded_laplacian_eigs,
 )
+from . import distributed  # noqa: F401

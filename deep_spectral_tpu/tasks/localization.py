@@ -71,6 +71,33 @@ def load_voc_detection(root: str | Path, year: str = "2012",
              base / "Annotations" / f"{i}.xml") for i in ids]
 
 
+def load_coco_detection(images_dir: str | Path, annotations_json: str | Path,
+                        subset_ids: Optional[Sequence[int]] = None):
+    """[(image_path, gt_boxes (G,4) xyxy float32)] from a COCO instances json
+    (the reference wraps torchvision CocoDetection, datasets.py:76-88; boxes
+    come as xywh and convert to xyxy; crowd annotations are kept, matching the
+    reference's extract_gt for COCO)."""
+    import json
+    images_dir = Path(images_dir)
+    with open(annotations_json) as f:
+        ann = json.load(f)
+    keep = set(subset_ids) if subset_ids is not None else None
+    by_image: dict[int, list] = {}
+    for a in ann["annotations"]:
+        if keep is not None and a["image_id"] not in keep:
+            continue
+        x, y, w, h = a["bbox"]
+        by_image.setdefault(a["image_id"], []).append([x, y, x + w, y + h])
+    pairs = []
+    for im in ann["images"]:
+        iid = im["id"]
+        if keep is not None and iid not in keep:
+            continue
+        boxes = np.asarray(by_image.get(iid, []), np.float32).reshape(-1, 4)
+        pairs.append((images_dir / im["file_name"], boxes))
+    return pairs
+
+
 def select_coco_20k(annotations_json: str | Path, seed: int = 42,
                     n: int = 20_000) -> list[int]:
     """Deterministic 20k-image COCO subset (reference: datasets.py:324-368 —
@@ -196,7 +223,7 @@ def dino_seg(attn: np.ndarray, dims: tuple[int, int], patch_size: int,
 # ---------------------------------------------------------------- CorLoc eval
 
 def evaluate_corloc(
-    pairs: Sequence[tuple],                # (image_path, annotation_path)
+    pairs: Sequence[tuple],   # (image_path, xml_annotation_path | gt_boxes array)
     eigs_dir: str | Path,
     which_matrix: str = "laplacian",
     output_dir: Optional[str | Path] = None,
@@ -205,7 +232,9 @@ def evaluate_corloc(
 ):
     """CorLoc over a detection split from precomputed eigs
     (reference: object-localization/main.py:206-419): floor-crop semantics are
-    baked into the eig grids; pred counts if IoU >= 0.5 with any GT box."""
+    baked into the eig grids; pred counts if IoU >= 0.5 with any GT box.
+    `pairs` come from `load_voc_detection` (XML paths) or `load_coco_detection`
+    (box arrays)."""
     from PIL import Image
     eigs_dir = Path(eigs_dir)
     corloc, preds, gts = [], [], []
@@ -216,8 +245,11 @@ def evaluate_corloc(
             it = tqdm(pairs, desc="corloc")
         except ImportError:
             pass
-    for image_path, ann_path in it:
-        gt_boxes, _ = parse_voc_annotation(ann_path, remove_hards=remove_hards)
+    for image_path, ann in it:
+        if isinstance(ann, (str, Path)):
+            gt_boxes, _ = parse_voc_annotation(ann, remove_hards=remove_hards)
+        else:
+            gt_boxes = np.asarray(ann, np.float32).reshape(-1, 4)
         if gt_boxes.shape[0] == 0:
             continue
         with Image.open(str(image_path)) as im:
