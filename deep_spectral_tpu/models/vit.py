@@ -65,10 +65,17 @@ def get_model_config(name: str) -> ViTConfig:
 
 class Attention(nn.Module):
     """Pre-norm multi-head self-attention that also exposes q/k/v and the
-    attention probabilities."""
+    attention probabilities.
+
+    attention_impl: 'einsum' — materialized masked softmax (exact, returns
+    attention maps); 'flash' — the Pallas flash kernel (scores never leave
+    VMEM; the hot path for P=8 backbones at 3.6k+ tokens); 'auto' — flash on
+    TPU for long sequences when attention maps aren't requested.
+    """
     dim: int
     num_heads: int
     compute_dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, token_mask: Optional[jax.Array] = None,
@@ -80,15 +87,29 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, T, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, hd)
 
-        scale = 1.0 / math.sqrt(head_dim)
-        logits = jnp.einsum("bthd,bshd->bhts", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        if token_mask is not None:
-            neg = jnp.asarray(-1e30, logits.dtype)
-            logits = jnp.where(token_mask[:, None, None, :], logits, neg)
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
-        out = jnp.einsum("bhts,bshd->bthd", attn, v,
-                         preferred_element_type=jnp.float32).astype(self.compute_dtype)
+        impl = self.attention_impl
+        if impl == "auto":
+            on_tpu = jax.default_backend() == "tpu"
+            impl = "flash" if (on_tpu and T >= 1024 and not want_attn) else "einsum"
+
+        if impl == "flash" and not want_attn:
+            from .flash_attention import flash_attention
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), token_mask,
+                interpret=(jax.default_backend() != "tpu"))
+            out = out.transpose(0, 2, 1, 3).astype(self.compute_dtype)
+            attn = None
+        else:
+            scale = 1.0 / math.sqrt(head_dim)
+            logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            if token_mask is not None:
+                neg = jnp.asarray(-1e30, logits.dtype)
+                logits = jnp.where(token_mask[:, None, None, :], logits, neg)
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.compute_dtype)
+            out = jnp.einsum("bhts,bshd->bthd", attn, v,
+                             preferred_element_type=jnp.float32).astype(self.compute_dtype)
         out = out.reshape(B, T, D)
         out = nn.Dense(D, use_bias=True, name="proj", dtype=self.compute_dtype)(out)
 
@@ -119,11 +140,13 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
     compute_dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, token_mask=None, want_attn=False):
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=jnp.float32)(x)
         h, qkv, attn = Attention(self.dim, self.num_heads, self.compute_dtype,
+                                 self.attention_impl,
                                  name="attn")(h, token_mask, want_attn)
         x = x + h
         h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=jnp.float32)(x)
@@ -149,6 +172,7 @@ class VisionTransformer(nn.Module):
     """
     cfg: ViTConfig
     compute_dtype: Any = jnp.float32
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, *, qkv_block: int = -1,
@@ -193,6 +217,7 @@ class VisionTransformer(nn.Module):
             want_this_attn = want_attn and (i == cfg.depth - 1)
             tokens, qkv, attn = Block(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, self.compute_dtype,
+                self.attention_impl,
                 name=f"blocks_{i}")(tokens, token_mask, want_this_attn)
             if i == qkv_block:
                 qkv_out = qkv

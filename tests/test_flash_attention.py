@@ -1,0 +1,72 @@
+"""Flash-attention Pallas kernel vs the reference masked softmax (interpret
+mode on CPU; the compiled path runs on TPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from deep_spectral_tpu.models.flash_attention import flash_attention
+
+
+def _reference_attention(q, k, v, kv_mask):
+    hd = q.shape[-1]
+    s = np.einsum("bhtd,bhsd->bhts", q, k) / np.sqrt(hd)
+    if kv_mask is not None:
+        s = np.where(kv_mask[:, None, None, :], s, -1e30)
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhts,bhsd->bhtd", p, v)
+
+
+@pytest.mark.parametrize("T", [256, 300, 901])
+def test_flash_matches_reference(rng, T):
+    B, H, hd = 2, 3, 64
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=128, block_k=128,
+                                     interpret=True))
+    ref = _reference_attention(q, k, v, None)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_with_token_mask(rng):
+    B, H, T, hd = 2, 2, 384, 64
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[0, 200:] = False   # ragged batch: image 0 has only 200 valid tokens
+    mask[1, 310:] = False
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(mask),
+                                     block_q=128, block_k=128, interpret=True))
+    ref = _reference_attention(q, k, v, mask)
+    # Compare only valid Q rows (padded rows are never read downstream).
+    np.testing.assert_allclose(out[0, :, :200], ref[0, :, :200], atol=2e-5)
+    np.testing.assert_allclose(out[1, :, :310], ref[1, :, :310], atol=2e-5)
+
+
+def test_flash_matches_vit_attention_module(rng):
+    """The ViT's einsum attention and the flash kernel agree on identical
+    inputs, including the CLS + mask layout the backbone uses."""
+    T, hd, H = 197, 64, 4
+    q = rng.standard_normal((1, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((1, H, T, hd)).astype(np.float32)
+    v = rng.standard_normal((1, H, T, hd)).astype(np.float32)
+    mask = np.ones((1, T), bool)
+    mask[0, 150:] = False
+    mask[0, 0] = True  # CLS always valid
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), jnp.asarray(mask),
+                                     block_q=128, block_k=128, interpret=True))
+    import math
+    logits = jnp.einsum("bhtd,bhsd->bhts", jnp.asarray(q), jnp.asarray(k)) \
+        / math.sqrt(hd)
+    logits = jnp.where(jnp.asarray(mask)[:, None, None, :], logits, -1e30)
+    ref = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(logits, -1),
+                     jnp.asarray(v))
+    np.testing.assert_allclose(out[0, :, :150], np.asarray(ref)[0, :, :150],
+                               atol=2e-5)
