@@ -273,6 +273,18 @@ def extract_eigs(
             image_color_lambda=image_color_lambda, solver=solver,
         )
         evals, evecs = np.asarray(evals), np.asarray(evecs)
+        # Solver fallback, mirroring the reference's ARPACK shift-invert ->
+        # plain-SM retry (extract/extract.py:227-234): if the fast iterative
+        # solver produced non-finite values, redo the batch with exact eigh.
+        if solver != "eigh" and not (np.isfinite(evals).all()
+                                     and np.isfinite(evecs).all()):
+            evals, evecs = spectral_decompose_batched(
+                jnp.asarray(feats), jnp.asarray(masks), color_W,
+                K=K, which_matrix=which_matrix, normalize=normalize,
+                threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
+                image_color_lambda=image_color_lambda, solver="eigh",
+            )
+            evals, evecs = np.asarray(evals), np.asarray(evecs)
         for i, (image_id, out_file, h_lr, w_lr) in enumerate(metas):
             vec = evecs[i].reshape(K, bucket.h, bucket.w)[:, :h_lr, :w_lr]
             out = {

@@ -412,15 +412,18 @@ def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
 def train(cfg: TrainConfig, dataset_train, dataset_val=None,
           ckpt_dir: Optional[str] = None, eval_every: int = 1000,
           log_every: int = 50, max_steps: Optional[int] = None,
-          backbone_params: Optional[dict] = None):
+          backbone_params: Optional[dict] = None,
+          metrics_path: Optional[str] = None):
     """Self-training loop (reference: train.py:136-254). Returns final state and
     the best validation mIoU."""
+    from ..utils.logging import MetricWriter
     model = build_model(cfg)
     state = create_train_state(cfg, model, backbone_params)
     rng = np.random.default_rng(cfg.seed)
     jrng = jax.random.PRNGKey(cfg.seed)
     steps = max_steps or cfg.max_train_steps
     best_miou = -1.0
+    writer = MetricWriter(metrics_path) if metrics_path else None
     order = rng.permutation(len(dataset_train))
     cursor = 0
     for step in range(steps):
@@ -441,13 +444,19 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
         if log_every and step % log_every == 0:
             print(f"step {step}: loss={float(logs['loss']):.4f} "
                   f"acc={float(logs['acc']):.4f}")
+        if writer is not None and step % max(log_every, 1) == 0:
+            writer.log(step, loss=float(logs["loss"]), acc=float(logs["acc"]))
         if dataset_val is not None and eval_every and (step + 1) % eval_every == 0:
             miou, _ = evaluate_model(state, dataset_val, cfg.num_classes)
             print(f"step {step}: val mIoU={miou:.4f}")
+            if writer is not None:
+                writer.log(step, val_miou=miou)
             if miou > best_miou:
                 best_miou = miou
                 if ckpt_dir:
                     save_checkpoint(ckpt_dir, state, step + 1, keep_best=True)
         if ckpt_dir and (step + 1) % max(eval_every, 1000) == 0:
             save_checkpoint(ckpt_dir, state, step + 1)
+    if writer is not None:
+        writer.close()
     return state, best_miou

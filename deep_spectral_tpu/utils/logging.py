@@ -155,6 +155,28 @@ def set_seed(seed: int, process_offset: bool = True) -> np.random.Generator:
     return np.random.default_rng(s)
 
 
+class MetricWriter:
+    """Append-only JSONL metric log (the role wandb plays in the reference,
+    train.py:33-35, :241-242 — wandb is unavailable offline, and a JSONL file
+    is greppable/plottable without a service)."""
+
+    def __init__(self, path):
+        from pathlib import Path
+        self.path = Path(path)
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path, "a")
+
+    def log(self, step: int, **metrics):
+        import json
+        rec = {"step": int(step)}
+        rec.update({k: float(v) for k, v in metrics.items()})
+        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.flush()
+
+    def close(self):
+        self._fh.close()
+
+
 def topk_accuracy(logits, targets, topk=(1,)):
     """Top-k accuracy in percent (reference: util.py:70-88)."""
     logits = jnp.asarray(logits)
