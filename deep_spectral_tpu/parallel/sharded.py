@@ -73,6 +73,65 @@ def sharded_patch_features(
     return jitted(params, images, token_mask)
 
 
+def tensor_parallel_param_shardings(mesh: Mesh, params, axis: str = MODEL_AXIS):
+    """Megatron-style tensor-parallel sharding tree for the ViT parameters.
+
+    Column-parallel qkv / mlp.fc1 (output dim sharded over `axis`) and
+    row-parallel proj / mlp.fc2 (input dim sharded): each block then needs one
+    psum per sublayer, which XLA inserts automatically from these annotations.
+    Everything else (norms, embeddings) is replicated.
+
+    Returns a pytree of NamedSharding matching `params`' structure.
+    """
+    def spec_for(path, leaf):
+        names = [getattr(p, "key", str(p)) for p in path]
+        joined = "/".join(str(n) for n in names)
+        if leaf.ndim == 2:
+            if "attn/qkv/kernel" in joined or "mlp/fc1/kernel" in joined:
+                return NamedSharding(mesh, P(None, axis))   # column parallel
+            if "attn/proj/kernel" in joined or "mlp/fc2/kernel" in joined:
+                return NamedSharding(mesh, P(axis, None))   # row parallel
+        if leaf.ndim == 1 and ("attn/qkv/bias" in joined
+                               or "mlp/fc1/bias" in joined):
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def tp_sharded_patch_features(
+    mesh: Mesh,
+    model: VisionTransformer,
+    params,
+    images: jax.Array,
+    token_mask: jax.Array,
+    which_block: int = -1,
+    axis: str = MODEL_AXIS,
+):
+    """ViT feature extraction with tensor-parallel weights over `axis` and the
+    batch over the data axis (2-D mesh): the reference has no TP at all; here
+    it lets one big model span chips while the batch also scales."""
+    if axis not in mesh.axis_names:
+        axis = mesh.axis_names[-1]  # 1-D mesh: TP over the only axis
+    p_shardings = tensor_parallel_param_shardings(mesh, params, axis)
+    params_sharded = jax.device_put(params, p_shardings)
+
+    def fn(p, x, m):
+        return extract_patch_keys(model, p, x, which_block=which_block,
+                                  token_mask=m)
+
+    data_axis = DATA_AXIS if (DATA_AXIS in mesh.axis_names
+                              and DATA_AXIS != axis) else None
+    x_spec = (NamedSharding(mesh, P(data_axis, None, None, None))
+              if data_axis else replicate_sharding(mesh))
+    m_spec = (NamedSharding(mesh, P(data_axis, None))
+              if data_axis else replicate_sharding(mesh))
+    jitted = jax.jit(fn, in_shardings=(p_shardings, x_spec, m_spec),
+                     out_shardings=(NamedSharding(mesh, P(data_axis, None, None))
+                                    if data_axis else replicate_sharding(mesh)))
+    return jitted(params_sharded, images, token_mask)
+
+
 def row_sharded_laplacian_eigs(
     mesh: Mesh,
     W: jax.Array,    # (N, N) affinity of ONE huge graph

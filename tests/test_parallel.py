@@ -86,6 +86,26 @@ def test_sharded_patch_features_matches_single_device(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_tensor_parallel_vit_matches_replicated(rng):
+    """Megatron-style TP shardings produce identical features to replicated
+    execution (XLA inserts the per-sublayer collectives)."""
+    from deep_spectral_tpu.parallel.sharded import tp_sharded_patch_features
+    from deep_spectral_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+    from deep_spectral_tpu.models.vit import extract_patch_keys
+
+    cfg = ViTConfig(patch_size=8, embed_dim=64, depth=2, num_heads=4, img_size=32)
+    model, params = init_vit_params(cfg)
+    mesh = make_mesh(8, axes=[(DATA_AXIS, 4), (MODEL_AXIS, 2)])
+    B = 4
+    x = rng.standard_normal((B, 32, 32, 3)).astype(np.float32)
+    mask = np.ones((B, 16), bool)
+    out = tp_sharded_patch_features(mesh, model, params, jnp.asarray(x),
+                                    jnp.asarray(mask))
+    ref = extract_patch_keys(model, params, jnp.asarray(x),
+                             token_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
 def test_row_sharded_lobpcg_matches_dense(rng):
     n, K = 320, 4  # divisible by 8 for clean row blocks
     W, _ = _affinity(rng, n)
