@@ -576,50 +576,73 @@ def extract_crf_segmentations(
     w2: float = 3.0,
     gamma: float = 3.0,
     it: float = 5.0,
+    batch_size: int = 4,
 ):
     """Dense-CRF sharpening of patch-level segmaps at full image resolution
-    (reference: extract/extract.py:650-735), on device."""
+    (reference: extract/extract.py:650-735), on device, batched per image-size
+    bucket (edge-replicated padding; results cropped back)."""
     del multiprocessing
     make_output_dir(output_dir)
-    inputs = get_paired_input_files(images_list, segmentations_dir)
     params = (w1, alpha, beta, w2, gamma, it)
+    writer = _AsyncWriter()
 
-    @partial(jax.jit, static_argnames=("nc",))
-    def crf_one(image, segmap_full, nc):
-        return dense_crf(image, segmap_full, num_classes=nc, params=params)
+    crf_batched = jax.jit(
+        jax.vmap(lambda im, sg: dense_crf(im, sg, num_classes=num_classes,
+                                          params=params)))
 
-    for _, (image_file, segmap_path) in _progress(inputs, "crf"):
+    from PIL import Image
+    pending = []
+    for _, (image_file, segmap_path) in get_paired_input_files(
+            images_list, segmentations_dir):
         image_id = Path(image_file).stem
         out_file = Path(output_dir) / f"{image_id}.png"
         if out_file.is_file():
             continue
-        image = load_image_rgb(Path(images_root) / f"{image_id}.jpg")
-        segmap = load_segmap_png(segmap_path)
+        with Image.open(str(Path(images_root) / f"{image_id}.jpg")) as im:
+            Wd, Hd = im.size
+        pending.append((image_id, segmap_path, out_file, (Hd, Wd)))
 
-        P = downsample_factor
-        H, W = image.shape[:2]
-        H_patch, W_patch = H // P, W // P
-        H_pad, W_pad = H_patch * P, W_patch * P
+    GRAN = 64  # pixel bucket granularity
 
-        # Upsample patch segmap to full res (cv2 nearest convention,
-        # reference: extract/extract.py:679-681).
-        seg_up = np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
-                                         (H_pad, W_pad)))
-        seg_full = np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
-                                           (H, W)))
-        seg_full[:H_pad, :W_pad] = seg_up
-        if set(np.unique(seg_full).tolist()) == {0, 255}:
-            seg_full[seg_full == 255] = 1
+    def prepare(bucket: bucketing.Bucket, batch_items):
+        BH, BW = bucket.h * GRAN, bucket.w * GRAN  # bucket is in 64-px units
+        imgs = np.zeros((batch_size, BH, BW, 3), np.float32)
+        segs = np.zeros((batch_size, BH, BW), np.int32)
+        metas = []
+        for i, (image_id, segmap_path, out_file, (H, W)) in enumerate(batch_items):
+            image = load_image_rgb(Path(images_root) / f"{image_id}.jpg")
+            segmap = load_segmap_png(segmap_path)
+            P = downsample_factor
+            H_pad, W_pad = (H // P) * P, (W // P) * P
+            # Upsample patch segmap to full res (cv2 nearest convention,
+            # reference: extract/extract.py:679-681).
+            seg_up = np.array(resize_nearest(
+                jnp.asarray(segmap.astype(np.int32)), (H_pad, W_pad)))
+            seg_full = np.array(resize_nearest(
+                jnp.asarray(segmap.astype(np.int32)), (H, W)))
+            seg_full[:H_pad, :W_pad] = seg_up
+            if set(np.unique(seg_full).tolist()) == {0, 255}:
+                seg_full[seg_full == 255] = 1
+            # Edge-replicate into the bucket so border bilateral neighborhoods
+            # stay natural; crop back after the CRF.
+            imgs[i] = np.pad(image, ((0, BH - H), (0, BW - W), (0, 0)),
+                             mode="edge")
+            segs[i] = np.pad(seg_full, ((0, BH - H), (0, BW - W)), mode="edge")
+            metas.append((out_file, H, W))
+        return imgs, segs, metas
 
-        # Pad to a bucket multiple with edge replication so bilateral
-        # neighborhoods at the border stay natural; crop the result back.
-        BH = -(-H // 32) * 32
-        BW = -(-W // 32) * 32
-        img_p = np.pad(image, ((0, BH - H), (0, BW - W), (0, 0)), mode="edge")
-        seg_p = np.pad(seg_full, ((0, BH - H), (0, BW - W)), mode="edge")
-        out = np.asarray(crf_one(jnp.asarray(img_p), jnp.asarray(seg_p),
-                                 num_classes))
-        save_segmap_png(out[:H, :W].astype(np.uint8), out_file)
+    def consume(bucket: bucketing.Bucket, batch_items, prepared):
+        imgs, segs, metas = prepared
+        out = np.asarray(crf_batched(jnp.asarray(imgs), jnp.asarray(segs)))
+        for i, (out_file, H, W) in enumerate(metas):
+            writer.submit(save_segmap_png, out[i, :H, :W].astype(np.uint8),
+                          out_file)
+
+    bucketing.run_bucketed_prefetched(
+        pending, lambda it: (it[3][0] // GRAN + (it[3][0] % GRAN > 0),
+                             it[3][1] // GRAN + (it[3][1] % GRAN > 0)),
+        prepare, consume, batch_size=batch_size, granularity=1)
+    writer.close()
     print(f"Saved CRF segmentations to {output_dir}")
 
 
