@@ -117,6 +117,31 @@ class DeepLabViT(nn.Module):
         return resize_bilinear(logits, (H, W))
 
 
+class DeepLabResNet(nn.Module):
+    """ResNet-50 backbone (dilated, output stride 8/16) + DeepLab head — the
+    reference's `get_deeplab_resnet` (semantic-segmentation/model/model.py:8-39):
+    layer1 -> 'low_level', layer4 -> 'out'."""
+    num_classes: int
+    head: str = "deeplabv3plus"
+    output_stride: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, token_mask=None):
+        del token_mask  # conv backbone needs no token mask
+        from .resnet import ResNet50
+        H, W = x.shape[1:3]
+        if self.output_stride == 8:
+            rswd, rates = (False, True, True), (12, 24, 36)
+        else:
+            rswd, rates = (False, False, True), (6, 12, 18)
+        feats = ResNet50(replace_stride_with_dilation=rswd,
+                         name="backbone")(x, train)
+        head_cls = DeepLabHeadV3Plus if self.head == "deeplabv3plus" else DeepLabHead
+        logits = head_cls(self.num_classes, rates, name="head")(
+            feats["layer1"], feats["layer4"], train)
+        return resize_bilinear(logits, (H, W))
+
+
 def backbone_param_labels(params, unfrozen_backbone_layers: int, depth: int):
     """Label each param 'train' or 'freeze': head always trains; backbone blocks
     train only in the last `unfrozen_backbone_layers` (reference:
@@ -133,6 +158,10 @@ def backbone_param_labels(params, unfrozen_backbone_layers: int, depth: int):
                 if depth - idx <= unfrozen_backbone_layers:
                     return "train"
                 return "freeze"
+            if isinstance(n, str) and n.startswith("layer") and "_" in n:
+                # ResNet stages layer1..layer4: train the last N stages.
+                stage = int(n.split("_")[0][5:])
+                return "train" if 4 - stage < unfrozen_backbone_layers else "freeze"
         # non-block backbone params (patch embed, pos embed, final norm)
         return "train" if unfrozen_backbone_layers < 0 else "freeze"
     return jax.tree_util.tree_map_with_path(lambda path, _: label(path), params)

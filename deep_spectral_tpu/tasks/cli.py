@@ -28,19 +28,31 @@ def _localization(argv):
     p.add_argument("--set", default="trainval", dest="image_set")
     p.add_argument("--dataset_root", required=True)
     p.add_argument("--eigenseg", action="store_true")
+    p.add_argument("--lost", action="store_true")
+    p.add_argument("--dino_seg", action="store_true")
     p.add_argument("--precomputed_eigs_dir", default=None)
     p.add_argument("--which_matrix", default="laplacian")
+    p.add_argument("--model_name", default="dino_vits16")
+    p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--remove_hards", action="store_true")
     p.add_argument("--output_dir", default="./outputs/localization")
     a = p.parse_args(argv)
     year = {"VOC07": "2007", "VOC12": "2012"}.get(a.dataset, "2012")
     pairs = L.load_voc_detection(a.dataset_root, year=year, image_set=a.image_set)
-    if not a.eigenseg or a.precomputed_eigs_dir is None:
-        p.error("round-1 CLI supports --eigenseg with --precomputed_eigs_dir; "
-                "LOST/dino_seg are available as library calls")
+    method = "lost" if a.lost else "dino_seg" if a.dino_seg else "eigenseg"
+    model = params = None
+    patch_size = 16
+    if a.precomputed_eigs_dir is None or method != "eigenseg":
+        from ..models.convert import load_params
+        from ..models.vit import get_model_config
+        model, params = load_params(a.model_name, a.ckpt_dir)
+        patch_size = get_model_config(a.model_name).patch_size
     score, _, _ = L.evaluate_corloc(
-        pairs, a.precomputed_eigs_dir, which_matrix=a.which_matrix,
-        output_dir=a.output_dir, remove_hards=a.remove_hards)
+        pairs,
+        a.precomputed_eigs_dir if method == "eigenseg" else None,
+        which_matrix=a.which_matrix, output_dir=a.output_dir,
+        remove_hards=a.remove_hards, method=method,
+        model=model, params=params, patch_size=patch_size)
     return score
 
 

@@ -220,23 +220,70 @@ def dino_seg(attn: np.ndarray, dims: tuple[int, int], patch_size: int,
                        xmax * patch_size, ymax * patch_size], np.float32)
 
 
+# ------------------------------------------------- on-the-fly method drivers
+
+def discover_box(
+    image_rgb: np.ndarray,
+    model,
+    params,
+    method: str = "eigenseg",
+    which_matrix: str = "laplacian",
+    patch_size: int = 16,
+) -> np.ndarray:
+    """Single-image box discovery without precomputed eigs
+    (reference: object-localization/main.py:281-364): ViT forward -> method.
+
+    method: 'eigenseg' (spectral), 'lost', or 'dino_seg'.
+    """
+    from ..models.vit import extract_patch_keys
+    from ..utils.image_io import normalize_imagenet
+
+    H, W = image_rgb.shape[:2]
+    P = patch_size
+    hp, wp = H // P, W // P
+    x = normalize_imagenet(image_rgb).transpose(1, 2, 0)[None, : hp * P, : wp * P]
+    if method == "dino_seg":
+        out = model.apply(params, jnp.asarray(x), want_attn=True,
+                          n_intermediates=0, qkv_block=-1)
+        attn = np.asarray(out["attn"])
+        return dino_seg(attn, (hp, wp), P)
+    feats = extract_patch_keys(model, params, jnp.asarray(x))[0]  # (N, D)
+    if method == "eigenseg":
+        return eigenseg_box_from_features(feats, (hp, wp), (H, W),
+                                          which_matrix=which_matrix)
+    if method == "lost":
+        from ..ops.affinity import l2_normalize
+        f = np.asarray(l2_normalize(feats))
+        return lost(f, (hp, wp), (P, P), (H, W))
+    raise ValueError(f"unknown method {method!r}")
+
+
 # ---------------------------------------------------------------- CorLoc eval
 
 def evaluate_corloc(
     pairs: Sequence[tuple],   # (image_path, xml_annotation_path | gt_boxes array)
-    eigs_dir: str | Path,
+    eigs_dir: Optional[str | Path] = None,
     which_matrix: str = "laplacian",
     output_dir: Optional[str | Path] = None,
     remove_hards: bool = False,
     progress: bool = True,
+    method: str = "eigenseg",
+    model=None,
+    params=None,
+    patch_size: int = 16,
 ):
     """CorLoc over a detection split from precomputed eigs
     (reference: object-localization/main.py:206-419): floor-crop semantics are
     baked into the eig grids; pred counts if IoU >= 0.5 with any GT box.
     `pairs` come from `load_voc_detection` (XML paths) or `load_coco_detection`
-    (box arrays)."""
+    (box arrays). With `eigs_dir=None`, boxes are discovered on the fly from
+    `model`/`params` via `method` ('eigenseg'/'lost'/'dino_seg' — the
+    reference's three --arch paths, main.py:281-364)."""
     from PIL import Image
-    eigs_dir = Path(eigs_dir)
+    if eigs_dir is not None:
+        eigs_dir = Path(eigs_dir)
+    elif model is None or params is None:
+        raise ValueError("need eigs_dir, or model+params for on-the-fly discovery")
     corloc, preds, gts = [], [], []
     it = pairs
     if progress:
@@ -252,10 +299,18 @@ def evaluate_corloc(
             gt_boxes = np.asarray(ann, np.float32).reshape(-1, 4)
         if gt_boxes.shape[0] == 0:
             continue
-        with Image.open(str(image_path)) as im:
-            W, H = im.size
-        eigs = load_pth(eigs_dir / f"{Path(image_path).stem}.pth")
-        pred = eigenseg_box_from_eigs(eigs, (H, W), which_matrix)
+        if eigs_dir is not None:
+            with Image.open(str(image_path)) as im:
+                W, H = im.size
+            eigs = load_pth(eigs_dir / f"{Path(image_path).stem}.pth")
+            pred = eigenseg_box_from_eigs(eigs, (H, W), which_matrix)
+        else:
+            from ..utils.image_io import load_image_rgb
+            rgb = load_image_rgb(image_path)
+            H, W = rgb.shape[:2]
+            pred = discover_box(rgb, model, params, method=method,
+                                which_matrix=which_matrix,
+                                patch_size=patch_size)
         ious = np.asarray(bbox_iou(jnp.asarray(pred), jnp.asarray(gt_boxes)))
         corloc.append(float(ious.max() >= 0.5))
         preds.append(pred)

@@ -265,7 +265,10 @@ class TrainConfig:
     seed: int = 1
 
 
-def build_model(cfg: TrainConfig) -> DeepLabViT:
+def build_model(cfg: TrainConfig):
+    if isinstance(cfg.backbone, str) and "resnet" in cfg.backbone:
+        from ..models.deeplab import DeepLabResNet
+        return DeepLabResNet(cfg.num_classes)
     vit_cfg = cfg.backbone if not isinstance(cfg.backbone, str) \
         else get_model_config(cfg.backbone)
     return DeepLabViT(vit_cfg, cfg.num_classes)
@@ -292,8 +295,8 @@ def create_train_state(cfg: TrainConfig, model: DeepLabViT,
         steps.append(optax.clip_by_global_norm(cfg.clip_grad_norm))
     steps.append(optax.adamw(schedule, weight_decay=cfg.weight_decay))
     tx = optax.chain(*steps)
-    labels = backbone_param_labels(params, cfg.unfrozen_backbone_layers,
-                                   model.vit_cfg.depth)
+    depth = model.vit_cfg.depth if hasattr(model, "vit_cfg") else 4
+    labels = backbone_param_labels(params, cfg.unfrozen_backbone_layers, depth)
     tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
