@@ -416,12 +416,26 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
           ckpt_dir: Optional[str] = None, eval_every: int = 1000,
           log_every: int = 50, max_steps: Optional[int] = None,
           backbone_params: Optional[dict] = None,
-          metrics_path: Optional[str] = None):
+          metrics_path: Optional[str] = None,
+          mesh=None):
     """Self-training loop (reference: train.py:136-254). Returns final state and
-    the best validation mIoU."""
+    the best validation mIoU.
+
+    With `mesh` (a jax.sharding.Mesh), batches are sharded over the mesh's
+    first axis and the state is replicated — data-parallel training with
+    batch-global BN, replacing the reference's accelerate/DDP+SyncBatchNorm
+    (train.py:78-82)."""
     from ..utils.logging import MetricWriter
     model = build_model(cfg)
     state = create_train_state(cfg, model, backbone_params)
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        axis = mesh.axis_names[0]
+        batch_sharding = NamedSharding(mesh, P(axis))
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        assert cfg.batch_size % mesh.shape[axis] == 0, \
+            f"batch {cfg.batch_size} not divisible by mesh axis {axis}"
     rng = np.random.default_rng(cfg.seed)
     jrng = jax.random.PRNGKey(cfg.seed)
     steps = max_steps or cfg.max_train_steps
@@ -441,8 +455,12 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
             ims.append(im)
             segs.append(sg)
         jrng, sub = jax.random.split(jrng)
-        state, logs = train_step(state, jnp.asarray(np.stack(ims)),
-                                 jnp.asarray(np.stack(segs)), sub,
+        images_b = jnp.asarray(np.stack(ims))
+        labels_b = jnp.asarray(np.stack(segs))
+        if batch_sharding is not None:
+            images_b = jax.device_put(images_b, batch_sharding)
+            labels_b = jax.device_put(labels_b, batch_sharding)
+        state, logs = train_step(state, images_b, labels_b, sub,
                                  use_ema=cfg.use_ema, ema_decay=cfg.ema_decay)
         if log_every and step % log_every == 0:
             print(f"step {step}: loss={float(logs['loss']):.4f} "

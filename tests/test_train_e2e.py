@@ -36,6 +36,23 @@ def voc_root(tmp_path_factory):
     return root, segs
 
 
+def test_train_loop_data_parallel_mesh(voc_root, tmp_path):
+    """DP training over the 8-device CPU mesh runs and learns."""
+    from deep_spectral_tpu.parallel import make_mesh
+    root, segs = voc_root
+    train_ds = SS.VOCSegmentationWithPseudolabels(str(root), "all", str(segs))
+    cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                         resize_size=40, batch_size=8, lr=5e-3,
+                         max_train_steps=12, unfrozen_backbone_layers=0)
+    mesh = make_mesh()
+    state, _ = SS.train(cfg, train_ds, mesh=mesh, log_every=0, max_steps=12,
+                        metrics_path=str(tmp_path / "m.jsonl"))
+    assert int(state.step) == 12
+    miou, _ = SS.evaluate_model(state, train_ds, num_classes=2, max_images=4)
+    assert miou > 0.4
+    assert (tmp_path / "m.jsonl").is_file()
+
+
 def test_train_loop_end_to_end(voc_root, tmp_path):
     root, segs = voc_root
     train_ds = SS.VOCSegmentationWithPseudolabels(str(root), "all", str(segs))
