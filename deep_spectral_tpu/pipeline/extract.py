@@ -319,56 +319,89 @@ def extract_multi_region_segmentations(
     num_eigenvectors: int = 1_000_000,
     multiprocessing: int = 0,
     seed: int = 0,
+    batch_size: int = 16,
+    bucket_granularity: int = 4,
 ):
     """k-means over eigenvectors -> multi-region segmaps
-    (reference: extract/extract.py:283-377)."""
+    (reference: extract/extract.py:283-377), batched: images grouped by
+    (n_clusters, grid bucket) and clustered with one vmapped k-means per group."""
     del multiprocessing
     make_output_dir(output_dir)
     inputs = get_paired_input_files(features_dir, eigs_dir)
+    writer = _AsyncWriter()
 
-    kmeans_v = jax.jit(partial(_kmeans_labels, n_init=10, max_iter=300),
-                       static_argnames=("k",))
-
-    for index, (feature_path, eigs_path) in _progress(inputs, "multi_region"):
+    # Host pass: per-image n_clusters (adaptive eigengap, extract.py:311-315)
+    # and segmap grid dims; group by n_clusters for static-shape batching.
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for index, (feature_path, eigs_path) in inputs:
         d = _load_feature_eig_pair(feature_path, eigs_path)
         out_file = Path(output_dir) / f"{d['id']}.png"
         if out_file.is_file():
             continue
         s = get_image_sizes(d)
-
         if adaptive:
-            # Number of segments from the largest eigenvalue gap
-            # (reference: extract/extract.py:311-315).
             gaps = np.diff(np.asarray(d["eigenvalues"]))
             order = np.argsort(gaps)[::-1]
             n_clusters = int(order[order != 0][0]) + 1
         else:
             n_clusters = non_adaptive_num_segments
-
         if kmeans_baseline:
             X = np.asarray(d["k"], np.float32).reshape(-1, d["k"].shape[-1])
         else:
-            X = np.asarray(d["eigenvectors"], np.float32)[1: 1 + num_eigenvectors].T
-
-        key = jax.random.PRNGKey(seed + index)
-        labels = np.asarray(kmeans_v(jnp.asarray(X), key, k=n_clusters))
-
-        if labels.size == s.H_patch * s.W_patch:
-            segmap = labels.reshape(s.H_patch, s.W_patch)
-        elif labels.size == s.H_patch * s.W_patch * 4:
-            segmap = labels.reshape(s.H_patch * 2, s.W_patch * 2)
+            X = np.asarray(d["eigenvectors"],
+                           np.float32)[1: 1 + num_eigenvectors].T
+        n_pts = X.shape[0]
+        if n_pts == s.H_patch * s.W_patch:
+            grid = (s.H_patch, s.W_patch)
+        elif n_pts == s.H_patch * s.W_patch * 4:
+            grid = (s.H_patch * 2, s.W_patch * 2)
         else:
-            raise ValueError(f"{labels.size=} vs {s}")
+            raise ValueError(f"{n_pts=} vs {s}")
+        groups[n_clusters].append((index, out_file, X, grid))
 
-        if infer_bg_index:
-            segmap = np.asarray(infer_background_swap(jnp.asarray(segmap), n_clusters))
+    def batched_kmeans(n_clusters):
+        def one(X, key, mask):
+            res = kmeans(X, n_clusters, key, n_init=10, max_iter=300, mask=mask)
+            return res.labels
+        return jax.jit(jax.vmap(one))
 
-        save_segmap_png(segmap.astype(np.uint8), out_file)
+    for n_clusters, items in groups.items():
+        km = batched_kmeans(n_clusters)
+
+        def prepare(bucket: bucketing.Bucket, batch_items):
+            M = batch_items[0][2].shape[1]
+            X = np.zeros((batch_size, bucket.tokens, M), np.float32)
+            extents = np.zeros((batch_size, 2), np.int32)
+            for i, (index, out_file, Xi, (h, w)) in enumerate(batch_items):
+                g = np.zeros((bucket.h, bucket.w, M), np.float32)
+                g[:h, :w] = Xi.reshape(h, w, M)
+                X[i] = g.reshape(-1, M)
+                extents[i] = (h, w)
+            masks = bucketing.grid_masks(extents, (bucket.h, bucket.w))
+            keys = np.stack([np.asarray(jax.random.PRNGKey(seed + it[0]))
+                             for it in batch_items]
+                            + [np.zeros(2, np.uint32)] *
+                            (batch_size - len(batch_items)))
+            return X, masks, keys
+
+        def consume(bucket: bucketing.Bucket, batch_items, prepared):
+            X, masks, keys = prepared
+            labels = np.asarray(km(jnp.asarray(X), jnp.asarray(keys),
+                                   jnp.asarray(masks)))
+            for i, (index, out_file, Xi, (h, w)) in enumerate(batch_items):
+                segmap = labels[i].reshape(bucket.h, bucket.w)[:h, :w]
+                if infer_bg_index:
+                    segmap = np.asarray(infer_background_swap(
+                        jnp.asarray(segmap), n_clusters))
+                writer.submit(save_segmap_png, segmap.astype(np.uint8), out_file)
+
+        bucketing.run_bucketed_prefetched(
+            items, lambda it: it[3], prepare, consume,
+            batch_size=batch_size, granularity=bucket_granularity)
+
+    writer.close()
     print(f"Saved multi-region segmentations to {output_dir}")
-
-
-def _kmeans_labels(X, key, *, k, n_init, max_iter):
-    return kmeans(X, k, key, n_init=n_init, max_iter=max_iter).labels
 
 
 def extract_single_region_segmentations(
