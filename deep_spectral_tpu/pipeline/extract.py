@@ -610,10 +610,12 @@ def extract_crf_segmentations(
     gamma: float = 3.0,
     it: float = 5.0,
     batch_size: int = 4,
+    gt_prob: float = 0.7,
 ):
     """Dense-CRF sharpening of patch-level segmaps at full image resolution
     (reference: extract/extract.py:650-735), on device, batched per image-size
-    bucket (edge-replicated padding; results cropped back)."""
+    bucket (edge-replicated padding; results cropped back). `gt_prob` softens
+    the hard-label unaries (unary_from_labels convention, see ops/crf.py)."""
     del multiprocessing
     make_output_dir(output_dir)
     params = (w1, alpha, beta, w2, gamma, it)
@@ -621,7 +623,7 @@ def extract_crf_segmentations(
 
     crf_batched = jax.jit(
         jax.vmap(lambda im, sg: dense_crf(im, sg, num_classes=num_classes,
-                                          params=params)))
+                                          params=params, gt_prob=gt_prob)))
 
     from PIL import Image
     pending = []
