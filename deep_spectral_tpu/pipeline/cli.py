@@ -47,9 +47,14 @@ def _add_stage_parser(sub, name: str):
     fn = getattr(stages, name)
     p = sub.add_parser(name, help=(fn.__doc__ or "").split("\n")[0])
     sig = inspect.signature(fn)
+    # `from __future__ import annotations` stringifies annotations; resolve them.
+    try:
+        hints = typing.get_type_hints(fn)
+    except Exception:
+        hints = {}
     for pname, param in sig.parameters.items():
         has_default = param.default is not inspect.Parameter.empty
-        ann = param.annotation
+        ann = hints.get(pname, param.annotation)
         origin = typing.get_origin(ann)
         if origin is typing.Union:  # Optional[...]
             args = [a for a in typing.get_args(ann) if a is not type(None)]

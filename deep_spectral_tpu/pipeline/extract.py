@@ -518,9 +518,17 @@ def extract_bbox_features(
         for b, (i, j, _) in enumerate(batch_items):
             feats[(i, j)] = cls[b]
 
-    bucketing.run_bucketed(
-        crops, lambda c: (max(c[2].shape[0] // P, 1), max(c[2].shape[1] // P, 1)),
-        process, batch_size=batch_size, granularity=4)
+    # Square pow2 buckets: crop shapes vary wildly and each distinct shape costs
+    # one compile; cap compiled shapes at ~log2(max crop size).
+    from collections import defaultdict
+    crop_groups = defaultdict(list)
+    for c in crops:
+        hp = max(c[2].shape[0] // P, 1)
+        wp = max(c[2].shape[1] // P, 1)
+        crop_groups[bucketing.square_pow2_bucket(hp, wp)].append(c)
+    for bucket in sorted(crop_groups, key=lambda b: -b.tokens):
+        for chunk in bucketing.batches(range(len(crop_groups[bucket])), batch_size):
+            process(bucket, [crop_groups[bucket][i] for i in chunk])
 
     for i, bd in enumerate(bbox_list):
         n = len(bd["bboxes"])

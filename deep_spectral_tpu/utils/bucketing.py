@@ -36,6 +36,19 @@ def bucket_for(h_patch: int, w_patch: int, granularity: int = 8) -> Bucket:
     return Bucket(math.ceil(h_patch / g) * g, math.ceil(w_patch / g) * g)
 
 
+def square_pow2_bucket(h_patch: int, w_patch: int, min_side: int = 8) -> Bucket:
+    """Square power-of-two bucket: side = next pow2 >= max(h, w, min_side).
+
+    For wildly-varying shapes (bbox crops) where every distinct bucket costs a
+    compile: caps the number of compiled shapes at ~log2(max_size) in exchange
+    for masked-padding compute waste."""
+    side = min_side
+    target = max(h_patch, w_patch, min_side)
+    while side < target:
+        side *= 2
+    return Bucket(side, side)
+
+
 def group_into_buckets(
     sizes: Sequence[tuple[int, int]],
     granularity: int = 8,
