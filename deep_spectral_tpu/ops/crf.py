@@ -198,20 +198,24 @@ def dense_crf_from_probs(image: jax.Array, probs: jax.Array, *,
     unary = -jnp.log(jnp.clip(probs, 1e-8, 1.0))
     Q0 = jax.nn.softmax(-unary, axis=-1)
 
-    # Normalization fields (kernel density at each pixel), computed once: the
-    # dense-CRF implementations normalize the pairwise kernels (symmetric
-    # normalization in Krahenbuhl's code, which SimpleCRF wraps), so messages
-    # are kernel-weighted *averages*, not raw sums.
-    ones = jnp.ones((H, W, 1), jnp.float32)
-    gauss_density = jnp.maximum(gaussian_filter_2d(ones, gamma), 1e-20)
+    # Krahenbuhl-style mean field uses UNNORMALIZED kernel sums: a pixel's
+    # message is the total kernel-weighted label mass of its (spatial x color)
+    # neighborhood — typically hundreds of units, so the pairwise term drives
+    # the dynamics and the unary acts mainly through the initialization. The
+    # bilateral grid's splat+blur+slice has a constant self-gain of
+    # (5/3)^5 per unit kernel (trilinear splat/slice through an unnormalized
+    # [1,2,1] blur: per-dim self response 2(1 - f + f^2), expectation 5/3);
+    # dividing by it calibrates the grid sum to a unit-peak Gaussian kernel,
+    # commensurate with the exact unit-peak spatial Gaussian of the w2 term.
+    K0 = (5.0 / 3.0) ** 5
 
     def step(_, Q):
-        # Bilateral (appearance) message: normalized filter minus the
-        # self-interaction share Q_i/d_i.
+        # Bilateral (appearance) message: unnormalized kernel-weighted label
+        # mass, self-interaction removed.
         bilat_avg, density = bilateral_filter(Q, img, alpha, beta)
-        bilat = bilat_avg - Q / density
-        # Spatial (smoothness) message, exact separable Gaussian, normalized.
-        gauss = (gaussian_filter_2d(Q, gamma) - Q) / gauss_density
+        bilat = bilat_avg * density / K0 - Q
+        # Spatial (smoothness) message, exact unit-peak separable Gaussian.
+        gauss = gaussian_filter_2d(Q, gamma) - Q
         msg = w1 * bilat + w2 * gauss
         # Potts compatibility: penalty for label l = sum_{m != l} msg_m.
         penalty = jnp.sum(msg, axis=-1, keepdims=True) - msg

@@ -93,6 +93,27 @@ def test_crf_preserves_clean_segmentation():
     assert (out == seg).mean() > 0.98
 
 
+def test_crf_refines_coarse_patch_segmap_to_pixel_blob(rng):
+    """The pipeline scenario (VOC-like params, alpha=80): a 16x-coarse segmap
+    of a color blob must snap to pixel-accurate boundaries, and the rest of a
+    noisy image must stay background — the regression for the round-1 bug
+    where normalized messages collapsed everything to the majority label."""
+    H, W = 160, 240
+    img = (rng.random((H, W, 3)) * 100).astype(np.float32)
+    img[40:104, 80:176] = [210.0, 70.0, 60.0]  # blob
+    # Coarse patch-level mask (16x), deliberately offset/blocky.
+    seg = np.zeros((H, W), np.int32)
+    seg[32:112, 80:176] = 2
+    out = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(seg),
+                               num_classes=4))  # default VOC params
+    blob = np.zeros((H, W), bool)
+    blob[40:104, 80:176] = True
+    pred = out == 2
+    iou = (pred & blob).sum() / (pred | blob).sum()
+    assert iou > 0.9, iou
+    assert set(np.unique(out)) == {0, 2}
+
+
 def test_crf_snaps_to_color_edge(rng):
     """Segmentation boundary offset from the color edge should move toward it."""
     img = _two_region_image()
