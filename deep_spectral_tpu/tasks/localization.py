@@ -26,9 +26,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops import largest_component, mask_bbox
 from ..ops.eigen import spectral_decompose
-from ..ops.metrics import bbox_iou
 from ..utils.serialization import load_pth
 from ..utils.sizes import infer_patch_grid
 
@@ -119,14 +117,22 @@ def get_bbox_from_patch_mask(patch_mask: np.ndarray,
     (reference: object_discovery.py:85-126): infer the patch grid from the mask
     length, invert the mask if >50% foreground or empty, take the largest
     8-connected component's box, scale by P, clamp to the image."""
+    from ..utils import native_cc
     H, W = image_hw
     P, h_lr, w_lr = infer_patch_grid(int(np.size(patch_mask)), H, W)
     mask = np.asarray(patch_mask).reshape(h_lr, w_lr).astype(np.uint8)
     mean = float(mask.mean())
     if 0.5 < mean < 1.0 or mask.sum() == 0:
         mask = 1 - mask
-    cc = np.asarray(largest_component(jnp.asarray(mask.astype(bool))))
-    xmin, ymin, xmax, ymax = (int(v) for v in np.asarray(mask_bbox(jnp.asarray(cc))))
+    # Host-side native union-find (8-connectivity, like skimage measure_label):
+    # patch grids are tiny and per-shape device compiles would dominate.
+    cc = native_cc.largest_component(mask.astype(bool), connectivity=2)
+    ys, xs = np.where(cc)
+    if len(ys) == 0:
+        xmin = ymin = xmax = ymax = 0
+    else:
+        ymin, ymax = int(ys.min()), int(ys.max()) + 1
+        xmin, xmax = int(xs.min()), int(xs.max()) + 1
     pred = [P * xmin, P * ymin, min(P * xmax, W), min(P * ymax, H)]
     return np.asarray(pred, np.float32)
 
@@ -311,7 +317,16 @@ def evaluate_corloc(
             pred = discover_box(rgb, model, params, method=method,
                                 which_matrix=which_matrix,
                                 patch_size=patch_size)
-        ious = np.asarray(bbox_iou(jnp.asarray(pred), jnp.asarray(gt_boxes)))
+        # Host numpy IoU: a per-image device round trip (and one-time remote
+        # compile) would dominate this tiny computation.
+        ix1 = np.maximum(pred[0], gt_boxes[:, 0])
+        iy1 = np.maximum(pred[1], gt_boxes[:, 1])
+        ix2 = np.minimum(pred[2], gt_boxes[:, 2])
+        iy2 = np.minimum(pred[3], gt_boxes[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        a1 = (pred[2] - pred[0]) * (pred[3] - pred[1])
+        a2 = (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1])
+        ious = inter / np.maximum(a1 + a2 - inter, 1e-16)
         corloc.append(float(ious.max() >= 0.5))
         preds.append(pred)
         gts.append(gt_boxes)
