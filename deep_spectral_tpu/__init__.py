@@ -22,4 +22,21 @@ edges and remain byte-compatible with the reference's on-disk interface
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: compiles through this environment's remote
+# TPU compiler take 30-300 s; the cache cuts repeat compiles to seconds across
+# processes (measured 236 s -> 19 s). Disable with DSS_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("DSS_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "DSS_TPU_COMPILE_CACHE_DIR",
+        _os.path.expanduser("~/.cache/dss_tpu_compile_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without these flags
+        pass
+
 from . import ops, utils  # noqa: F401
