@@ -17,7 +17,6 @@ README.md:65) + scipy ARPACK shift-invert eigsh per image
 """
 import json
 import os
-import sys
 import time
 from pathlib import Path
 

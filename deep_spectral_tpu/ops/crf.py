@@ -75,7 +75,6 @@ def _grid_coords(image: jax.Array, alpha: float, beta: float) -> jax.Array:
 
 
 def _corner_offsets():
-    import numpy as _np
     return jnp.asarray([[(c >> d) & 1 for d in range(5)] for c in range(32)],
                        jnp.int32)  # (32, 5)
 

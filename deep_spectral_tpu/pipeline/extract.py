@@ -27,7 +27,7 @@ import sys
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from pathlib import Path
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -40,7 +40,7 @@ from ..ops import (
     erode_or_dilate_mask, infer_background_swap, kmeans, mask_bbox, pca,
 )
 from ..ops.affinity import knn_affinity, rw_affinity
-from ..ops.crf import DEFAULT_CRF_PARAMS, dense_crf
+from ..ops.crf import dense_crf
 from ..ops.eigen import spectral_decompose_batched
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..utils import bucketing

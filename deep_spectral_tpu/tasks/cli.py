@@ -131,7 +131,8 @@ def _semantic_train(argv):
         batch_size=cfg.data.loader.batch_size, seed=cfg.seed)
     state, best = SS.train(tcfg, train_ds, val_ds,
                            ckpt_dir=cfg.checkpoint.dir,
-                           eval_every=cfg.eval_every)
+                           eval_every=cfg.eval_every,
+                           resume=cfg.checkpoint.get("resume"))
     print(f"best mIoU: {best:.4f}")
     return best
 

@@ -5,7 +5,6 @@ degree/correlation feature maps, and seed-expansion overlays — the reference's
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 from pathlib import Path
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import numpy as np
 
@@ -417,7 +417,7 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
           log_every: int = 50, max_steps: Optional[int] = None,
           backbone_params: Optional[dict] = None,
           metrics_path: Optional[str] = None,
-          mesh=None):
+          mesh=None, resume: Optional[str] = None):
     """Self-training loop (reference: train.py:136-254). Returns final state and
     the best validation mIoU.
 
@@ -428,6 +428,11 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     from ..utils.logging import MetricWriter
     model = build_model(cfg)
     state = create_train_state(cfg, model, backbone_params)
+    if resume:
+        # Resume model/step from an orbax checkpoint (the reference's
+        # resume_from_checkpoint, util.py:258-307).
+        state = restore_checkpoint(resume, state)
+        print(f"Resumed from {resume} at step {int(state.step)}")
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
