@@ -35,7 +35,7 @@ def measure_tpu() -> float:
     from deep_spectral_tpu.models.vit import extract_patch_keys
     from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
 
-    model, params = load_params("dino_vits16")
+    model, params = load_params("dino_vits16", precision="bf16")
     n_tokens = (H // 16) * (W // 16)
 
     @jax.jit

@@ -72,14 +72,22 @@ def find_local_checkpoint(model_name: str,
     return None
 
 
-def load_params(model_name: str, ckpt_dir: Optional[str] = None, seed: int = 0):
+def load_params(model_name: str, ckpt_dir: Optional[str] = None, seed: int = 0,
+                precision: str = "fp32"):
     """Return (model, params); converted pretrained weights when a local torch
-    checkpoint is found, deterministic random init otherwise."""
+    checkpoint is found, deterministic random init otherwise.
+
+    precision='bf16' sets the model's compute dtype to bfloat16 (params stay
+    fp32; LayerNorm/softmax statistics stay fp32): ~1.5x faster on the MXU with
+    k-feature cosine vs fp32 >= 0.9999 (measured on v5e)."""
+    import jax.numpy as jnp
     from .vit import VisionTransformer, init_vit_params
+    dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
     cfg = get_model_config(model_name)
     path = find_local_checkpoint(model_name, ckpt_dir)
     if path is None:
-        return init_vit_params(cfg, seed=seed)
+        model, params = init_vit_params(cfg, seed=seed)
+        return VisionTransformer(cfg, dtype), params
     import torch
     sd = torch.load(str(path), map_location="cpu", weights_only=False)
     if isinstance(sd, dict) and "state_dict" in sd:
@@ -87,6 +95,4 @@ def load_params(model_name: str, ckpt_dir: Optional[str] = None, seed: int = 0):
     sd = {k.removeprefix("module."): v for k, v in sd.items()
           if not k.startswith("head.")}
     params = convert_dino_torch_checkpoint(sd, cfg)
-    import jax
-    params = jax.tree.map(lambda a: a, params)
-    return VisionTransformer(cfg), params
+    return VisionTransformer(cfg, dtype), params

@@ -110,14 +110,17 @@ def extract_features(
     which_block: int = -1,
     ckpt_dir: Optional[str] = None,
     bucket_granularity: int = 8,
+    precision: str = "bf16",
 ):
     """Dense ViT patch-key features for every image in the list
     (reference: extract/extract.py:21-116). Batched per shape bucket; the saved
-    per-image dict is schema-identical to the reference's."""
+    per-image dict is schema-identical to the reference's. precision='bf16'
+    (default) runs the backbone in bfloat16 compute (k-feature cosine vs fp32
+    >= 0.9999, ~1.5x faster; the reference itself runs fp16, extract.py:65)."""
     make_output_dir(output_dir)
     model_name = model_name.lower()
     cfg = get_model_config(model_name)
-    model, params = load_params(model_name, ckpt_dir)
+    model, params = load_params(model_name, ckpt_dir, precision=precision)
     P = cfg.patch_size
 
     paths = read_image_list(images_list, images_root)
@@ -483,13 +486,14 @@ def extract_bbox_features(
     output_file: str,
     ckpt_dir: Optional[str] = None,
     batch_size: int = 16,
+    precision: str = "bf16",
 ):
     """CLS embedding of each bbox crop (reference: extract/extract.py:500-544),
     batched across all crops by bucket shape."""
     bbox_list = load_pth(bbox_file)
     model_name = model_name.lower()
     cfg = get_model_config(model_name)
-    model, params = load_params(model_name, ckpt_dir)
+    model, params = load_params(model_name, ckpt_dir, precision=precision)
     P = cfg.patch_size
 
     @jax.jit
