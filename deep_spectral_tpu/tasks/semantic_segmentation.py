@@ -446,22 +446,39 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     steps = max_steps or cfg.max_train_steps
     best_miou = -1.0
     writer = MetricWriter(metrics_path) if metrics_path else None
-    order = rng.permutation(len(dataset_train))
-    cursor = 0
+
+    # Prefetching batch producer: dataset read + augmentation run in a worker
+    # thread two steps ahead of the device (the reference's DataLoader
+    # num_workers=8 analogue).
+    import queue
+    import threading
+    batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        order = rng.permutation(len(dataset_train))
+        cursor = 0
+        for _ in range(steps):
+            ims, segs = [], []
+            for _ in range(cfg.batch_size):
+                if cursor >= len(order):
+                    order = rng.permutation(len(dataset_train))
+                    cursor = 0
+                image, seg, _, _ = dataset_train[int(order[cursor])]
+                cursor += 1
+                im, sg = train_augment(rng, image, seg, cfg.resize_size,
+                                       cfg.crop_size)
+                ims.append(im)
+                segs.append(sg)
+            batch_q.put((np.stack(ims), np.stack(segs)))
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+
     for step in range(steps):
-        ims, segs = [], []
-        for _ in range(cfg.batch_size):
-            if cursor >= len(order):
-                order = rng.permutation(len(dataset_train))
-                cursor = 0
-            image, seg, _, _ = dataset_train[int(order[cursor])]
-            cursor += 1
-            im, sg = train_augment(rng, image, seg, cfg.resize_size, cfg.crop_size)
-            ims.append(im)
-            segs.append(sg)
+        ims_np, segs_np = batch_q.get()
         jrng, sub = jax.random.split(jrng)
-        images_b = jnp.asarray(np.stack(ims))
-        labels_b = jnp.asarray(np.stack(segs))
+        images_b = jnp.asarray(ims_np)
+        labels_b = jnp.asarray(segs_np)
         if batch_sharding is not None:
             images_b = jax.device_put(images_b, batch_sharding)
             labels_b = jax.device_put(labels_b, batch_sharding)
@@ -483,6 +500,7 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
                     save_checkpoint(ckpt_dir, state, step + 1, keep_best=True)
         if ckpt_dir and (step + 1) % max(eval_every, 1000) == 0:
             save_checkpoint(ckpt_dir, state, step + 1)
+    thread.join()
     if writer is not None:
         writer.close()
     return state, best_miou
