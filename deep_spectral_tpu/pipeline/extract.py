@@ -91,6 +91,19 @@ class _AsyncWriter:
         self._pool.shutdown()
 
 
+def shard_across_processes(items):
+    """Round-robin shard a per-image work list across JAX processes: each host
+    of a multi-host run computes and writes a disjoint subset (the pipeline's
+    outputs are independent per-image files, so no synchronization is needed —
+    the reference's accelerate multi-process extraction pattern,
+    extract/extract.py:113-114, without the wait_for_everyone)."""
+    import jax
+    n = jax.process_count()
+    if n == 1:
+        return items
+    return items[jax.process_index()::n]
+
+
 def _progress(it, desc):
     try:
         from tqdm import tqdm
@@ -142,6 +155,7 @@ def extract_features(
     writer = _AsyncWriter()
     items = [x for x in enumerate(paths)
              if not (Path(output_dir) / f"{Path(rels[x[0]]).stem}.pth").is_file()]
+    items = shard_across_processes(items)
     done = [0]
 
     def prepare(bucket: bucketing.Bucket, batch_items):
@@ -225,6 +239,7 @@ def extract_eigs(
         if out_file.is_file():
             continue
         pending.append((f, image_id, out_file, lr_grid_of(get_image_sizes(d))))
+    pending = shard_across_processes(pending)
 
     writer = _AsyncWriter()
 
@@ -648,6 +663,7 @@ def extract_crf_segmentations(
         with Image.open(str(Path(images_root) / f"{image_id}.jpg")) as im:
             Wd, Hd = im.size
         pending.append((image_id, segmap_path, out_file, (Hd, Wd)))
+    pending = shard_across_processes(pending)
 
     GRAN = 64  # pixel bucket granularity
 
