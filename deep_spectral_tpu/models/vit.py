@@ -89,8 +89,11 @@ class Attention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
+            # Flash pays off once the materialized (T, T) scores stop fitting
+            # comfortably; below ~2k tokens XLA's fused einsum attention is
+            # fast and compiles much quicker.
             on_tpu = jax.default_backend() == "tpu"
-            impl = "flash" if (on_tpu and T >= 1024 and not want_attn) else "einsum"
+            impl = "flash" if (on_tpu and T >= 2048 and not want_attn) else "einsum"
 
         if impl == "flash" and not want_attn:
             from .flash_attention import flash_attention

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from ..models.convert import load_params
 from ..models.vit import extract_patch_keys, get_model_config
 from ..ops import (
-    erode_or_dilate_mask, infer_background_swap, kmeans, mask_bbox, pca,
+    infer_background_swap, kmeans, pca,
 )
 from ..ops.affinity import knn_affinity, rw_affinity
 from ..ops.crf import dense_crf
@@ -463,11 +463,30 @@ def extract_bboxes(
     make_output_dir(str(Path(output_file).parent), check_if_empty=False)
     inputs = get_paired_input_files(features_dir, segmentations_dir)
 
-    @partial(jax.jit, static_argnames=("num_erode", "num_dilate"))
+    def _np_erode_dilate(m: np.ndarray, erode: bool) -> np.ndarray:
+        """Cross-footprint min/max step, numpy (same semantics as
+        ops.morphology._erode_dilate_once; patch grids are tiny and a device
+        jit per segmap shape would cost far more than the op)."""
+        pad_val = erode
+        p = np.pad(m, 1, constant_values=pad_val)
+        stack = np.stack([p[1:-1, 1:-1], p[:-2, 1:-1], p[2:, 1:-1],
+                          p[1:-1, :-2], p[1:-1, 2:]])
+        return stack.all(0) if erode else stack.any(0)
+
     def segment_box(mask, num_erode, num_dilate):
-        m = erode_or_dilate_mask(mask, r=num_erode, erode=True)
-        m = erode_or_dilate_mask(m, r=num_dilate, erode=False)
-        return mask_bbox(m)
+        m = mask.astype(bool)
+        for _ in range(num_erode):
+            new = _np_erode_dilate(m, erode=True)
+            if new.sum() > 0:  # don't erode the mask away (extract_utils.py:115-121)
+                m = new
+        for _ in range(num_dilate):
+            new = _np_erode_dilate(m, erode=False)
+            if new.sum() > 0:
+                m = new
+        ys, xs = np.where(m)
+        if len(ys) == 0:
+            return 0, 0, 0, 0
+        return int(xs.min()), int(ys.min()), int(xs.max()) + 1, int(ys.max()) + 1
 
     all_outputs = []
     for _, (feature_path, seg_path) in _progress(inputs, "bboxes"):
@@ -480,9 +499,8 @@ def extract_bboxes(
         for seg_idx in sorted(np.unique(segmap).tolist()):
             if skip_bg_index and seg_idx <= 0:
                 continue
-            box = np.asarray(segment_box(jnp.asarray(segmap == seg_idx),
-                                         num_erode, num_dilate))
-            xmin, ymin, xmax, ymax = (int(v) for v in box)
+            xmin, ymin, xmax, ymax = segment_box(segmap == seg_idx,
+                                                 num_erode, num_dilate)
             outputs["segment_indices"].append(seg_idx)
             outputs["bboxes"].append([xmin, ymin, xmax, ymax])
             outputs["bboxes_original_resolution"].append(
