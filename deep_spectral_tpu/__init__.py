@@ -29,7 +29,10 @@ import jax as _jax
 # Persistent XLA compilation cache: compiles through this environment's remote
 # TPU compiler take 30-300 s; the cache cuts repeat compiles to seconds across
 # processes (measured 236 s -> 19 s). Disable with DSS_TPU_NO_COMPILE_CACHE=1.
-if not _os.environ.get("DSS_TPU_NO_COMPILE_CACHE"):
+# Not enabled for CPU-only runs: CPU AOT cache entries are host-feature
+# fingerprinted and can SIGILL when loaded under a different feature detection.
+if (not _os.environ.get("DSS_TPU_NO_COMPILE_CACHE")
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu"):
     _cache_dir = _os.environ.get(
         "DSS_TPU_COMPILE_CACHE_DIR",
         _os.path.expanduser("~/.cache/dss_tpu_compile_cache"))

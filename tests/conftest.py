@@ -7,6 +7,7 @@ real-TPU execution is exercised by bench.py / the driver instead.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # the session env pins JAX_PLATFORMS=axon (TPU)
+os.environ["DSS_TPU_NO_COMPILE_CACHE"] = "1"  # don't cache CPU AOT compiles
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
