@@ -53,6 +53,8 @@ VIT_CONFIGS: dict[str, ViTConfig] = {
     "dino_vits8": ViTConfig(8, 384, 12, 6),
     "dino_vitb16": ViTConfig(16, 768, 12, 12),
     "dino_vitb8": ViTConfig(8, 768, 12, 12),
+    # tiny config for tests/CI smoke only — not a reference model
+    "test_vit_tiny": ViTConfig(8, 32, 2, 2, img_size=32),
 }
 
 

@@ -80,10 +80,16 @@ class VOCSegmentationWithPseudolabels:
             self.images = all_images
         self.targets = [root / "SegmentationClass" / f"{p.stem}.png"
                         for p in self.images]
+        # Segment files cover the WHOLE image folder and pair to sorted images
+        # by position, then the split subset is selected
+        # (reference: dataset/voc.py:112-131 `_prepare_segments_dir`).
         seg_files = sorted(Path(segments_dir).iterdir())
-        assert len(seg_files) == len(self.images), \
-            f"{len(seg_files)} segmaps vs {len(self.images)} images"
-        self.segments = seg_files
+        assert len(seg_files) == len(all_images), \
+            f"{len(seg_files)} segmaps vs {len(all_images)} images in folder"
+        split_stems = {p.stem for p in self.images}
+        self.segments = [s for img, s in zip(all_images, seg_files)
+                         if img.stem in split_stems]
+        assert len(self.segments) == len(self.images)
         self.label_map = label_map
 
     def __len__(self):
