@@ -100,13 +100,17 @@ class DeepLabViT(nn.Module):
     num_classes: int
     head: str = "deeplabv3plus"
     compute_dtype: Any = jnp.float32
+    # 'einsum' is differentiable everywhere; the flash Pallas kernel is
+    # forward-only (no custom VJP yet), so training must not auto-select it.
+    attention_impl: str = "einsum"
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None):
         B, H, W, _ = x.shape
         P = self.vit_cfg.patch_size
         hp, wp = H // P, W // P
-        vit = VisionTransformer(self.vit_cfg, self.compute_dtype, name="backbone")
+        vit = VisionTransformer(self.vit_cfg, self.compute_dtype,
+                                self.attention_impl, name="backbone")
         outs = vit(x, n_intermediates=5, token_mask=token_mask)
         inters = outs["intermediates"]
         # layer -5 -> low_level, final layer -> out (model.py:75-77), CLS dropped.

@@ -73,6 +73,44 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref,
         o_ref[0, 0] = (acc_scratch[...] * l_inv).astype(o_ref.dtype)
 
 
+def _einsum_attention(q, k, v, kv_mask):
+    """Reference masked attention in plain jnp (differentiable); used for the
+    recomputation backward pass of `flash_attention_trainable`."""
+    hd = q.shape[-1]
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_trainable(q, k, v, kv_mask, interpret=False):
+    """Differentiable flash attention: the Pallas kernel on the forward pass,
+    gradient by attention recomputation (einsum) on the backward pass. The
+    backward materializes one (T, T) score tensor per head — the standard
+    recompute-in-backward trade; a fused flash backward kernel can replace it
+    without changing this interface."""
+    return flash_attention(q, k, v, kv_mask, interpret=interpret)
+
+
+def _fat_fwd(q, k, v, kv_mask, interpret):
+    return flash_attention(q, k, v, kv_mask, interpret=interpret), (q, k, v, kv_mask)
+
+
+def _fat_bwd(interpret, residuals, g):
+    q, k, v, kv_mask = residuals
+    _, vjp = jax.vjp(lambda q_, k_, v_: _einsum_attention(q_, k_, v_, kv_mask),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention(
     q: jax.Array,                 # (B, H, T, hd)

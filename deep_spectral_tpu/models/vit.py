@@ -98,11 +98,11 @@ class Attention(nn.Module):
             impl = "flash" if (on_tpu and T >= 2048 and not want_attn) else "einsum"
 
         if impl == "flash" and not want_attn:
-            from .flash_attention import flash_attention
-            out = flash_attention(
+            from .flash_attention import flash_attention_trainable
+            out = flash_attention_trainable(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), token_mask,
-                interpret=(jax.default_backend() != "tpu"))
+                jax.default_backend() != "tpu")
             out = out.transpose(0, 2, 1, 3).astype(self.compute_dtype)
             attn = None
         else:

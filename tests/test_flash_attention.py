@@ -49,6 +49,33 @@ def test_flash_with_token_mask(rng):
     np.testing.assert_allclose(out[1, :, :310], ref[1, :, :310], atol=2e-5)
 
 
+def test_flash_gradients_match_einsum(rng):
+    """flash_attention_trainable's VJP equals differentiating the einsum path."""
+    from deep_spectral_tpu.models.flash_attention import (
+        flash_attention_trainable, _einsum_attention)
+    B, H, T, hd = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 200:] = False
+    mask_j = jnp.asarray(mask)
+
+    def loss_flash(q, k, v):
+        out = flash_attention_trainable(q, k, v, mask_j, True)
+        return jnp.sum(out[:, :, :200] ** 2)
+
+    def loss_ref(q, k, v):
+        out = _einsum_attention(q, k, v, mask_j)
+        return jnp.sum(out[:, :, :200] ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-3, rtol=1e-3)
+
+
 def test_flash_matches_vit_attention_module(rng):
     """The ViT's einsum attention and the flash kernel agree on identical
     inputs, including the CLS + mask layout the backbone uses."""
