@@ -100,9 +100,10 @@ class DeepLabViT(nn.Module):
     num_classes: int
     head: str = "deeplabv3plus"
     compute_dtype: Any = jnp.float32
-    # 'einsum' is differentiable everywhere; the flash Pallas kernel is
-    # forward-only (no custom VJP yet), so training must not auto-select it.
+    # 'einsum' materializes attention but has the cheapest backward; 'flash'
+    # is also differentiable (recompute backward). 'einsum' default.
     attention_impl: str = "einsum"
+    remat: bool = False  # jax.checkpoint the backbone blocks (large batches)
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None):
@@ -110,7 +111,8 @@ class DeepLabViT(nn.Module):
         P = self.vit_cfg.patch_size
         hp, wp = H // P, W // P
         vit = VisionTransformer(self.vit_cfg, self.compute_dtype,
-                                self.attention_impl, name="backbone")
+                                self.attention_impl, self.remat,
+                                name="backbone")
         outs = vit(x, n_intermediates=5, token_mask=token_mask)
         inters = outs["intermediates"]
         # layer -5 -> low_level, final layer -> out (model.py:75-77), CLS dropped.

@@ -178,6 +178,10 @@ class VisionTransformer(nn.Module):
     cfg: ViTConfig
     compute_dtype: Any = jnp.float32
     attention_impl: str = "auto"
+    # Rematerialize block activations in the backward pass (jax.checkpoint):
+    # trades ~30% more FLOPs for O(depth) less activation memory — the standard
+    # lever for large-batch training (see TrainConfig.remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, qkv_block: int = -1,
@@ -218,9 +222,10 @@ class VisionTransformer(nn.Module):
         qkv_out = None
         attn_out = None
         intermediates = []
+        block_cls = nn.remat(Block, static_argnums=(3,)) if self.remat else Block
         for i in range(cfg.depth):
             want_this_attn = want_attn and (i == cfg.depth - 1)
-            tokens, qkv, attn = Block(
+            tokens, qkv, attn = block_cls(
                 cfg.embed_dim, cfg.num_heads, cfg.mlp_ratio, self.compute_dtype,
                 self.attention_impl,
                 name=f"blocks_{i}")(tokens, token_mask, want_this_attn)

@@ -269,6 +269,7 @@ class TrainConfig:
     resize_size: int = 256
     batch_size: int = 16
     seed: int = 1
+    remat: bool = False  # rematerialize backbone activations (big batches)
 
 
 def build_model(cfg: TrainConfig):
@@ -277,7 +278,7 @@ def build_model(cfg: TrainConfig):
         return DeepLabResNet(cfg.num_classes)
     vit_cfg = cfg.backbone if not isinstance(cfg.backbone, str) \
         else get_model_config(cfg.backbone)
-    return DeepLabViT(vit_cfg, cfg.num_classes)
+    return DeepLabViT(vit_cfg, cfg.num_classes, remat=cfg.remat)
 
 
 def create_train_state(cfg: TrainConfig, model: DeepLabViT,
