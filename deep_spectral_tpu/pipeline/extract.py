@@ -311,9 +311,18 @@ def extract_eigs(
             }
             writer.submit(save_pth, out, out_file)
 
+    def coarse_grid(it):
+        # Coarsen bucketing for big graphs: the eigensolve's cost is O(N^2 m)
+        # so padding 3600 -> 4096 tokens costs ~30% compute, while every
+        # distinct shape costs a full (remote) compile.
+        h, w = it[3]
+        g = bucket_granularity if h * w <= 2048 else max(bucket_granularity, 16)
+        b = bucketing.bucket_for(h, w, g)
+        return (b.h, b.w)
+
     bucketing.run_bucketed_prefetched(
-        pending, lambda it: it[3], prepare, consume,
-        batch_size=batch_size, granularity=bucket_granularity)
+        pending, coarse_grid, prepare, consume,
+        batch_size=batch_size, granularity=1)
     writer.close()
     print(f"Saved eigs to {output_dir}")
 
