@@ -76,6 +76,43 @@ def test_flash_gradients_match_einsum(rng):
                                    atol=1e-3, rtol=1e-3)
 
 
+def test_flash_gradients_ragged_mask_odd_T(rng):
+    """Kernel backward with padding + ragged KV masks (the bucketed-batch case)."""
+    from deep_spectral_tpu.models.flash_attention import (
+        flash_attention_trainable, _einsum_attention)
+    B, H, T, hd = 2, 2, 197, 64  # odd T -> internal padding
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 120:] = False
+    mask[1, 60:] = False
+    mask_j = jnp.asarray(mask)
+    w = jnp.asarray(rng.standard_normal((hd,)).astype(np.float32))
+
+    def loss(att_fn):
+        def f(q, k, v):
+            out = att_fn(q, k, v)
+            # only valid rows contribute to the loss
+            m = mask_j[:, None, :, None]
+            return jnp.sum(jnp.where(m, out, 0.0) * w)
+        return f
+
+    gf = jax.grad(loss(lambda q, k, v: flash_attention_trainable(
+        q, k, v, mask_j, True)), argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss(lambda q, k, v: _einsum_attention(q, k, v, mask_j)),
+                  argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gf, gr):
+        a, b = np.asarray(a), np.asarray(b)
+        # Gradients at masked positions may differ (unused downstream); compare
+        # valid rows only.
+        for bb in range(B):
+            n = int(mask[bb].sum())
+            np.testing.assert_allclose(a[bb, :, :n], b[bb, :, :n],
+                                       atol=2e-3, rtol=1e-3,
+                                       err_msg=f"d{name} batch {bb}")
+
+
 def test_flash_matches_vit_attention_module(rng):
     """The ViT's einsum attention and the flash kernel agree on identical
     inputs, including the CLS + mask layout the backbone uses."""
