@@ -100,8 +100,8 @@ class DeepLabViT(nn.Module):
     num_classes: int
     head: str = "deeplabv3plus"
     compute_dtype: Any = jnp.float32
-    # 'einsum' materializes attention but has the cheapest backward; 'flash'
-    # is also differentiable (recompute backward). 'einsum' default.
+    # 'einsum' is fastest at training crop sizes (T <= ~1k tokens); 'flash'
+    # (fully differentiable Pallas kernels) pays off for large-crop training.
     attention_impl: str = "einsum"
     remat: bool = False  # jax.checkpoint the backbone blocks (large batches)
 
