@@ -40,6 +40,30 @@ def test_lobpcg_solver_matches_eigh_on_image_graphs(rng, lapnorm):
             assert cos > 0.999, f"trial {trial} ev{k}: cos={cos}"
 
 
+def test_lobpcg_k20_default_config(rng):
+    """The extract_eigs default (K=20) on an image-structured graph: the auto
+    solver's block is K+8=28, which needs N >= 113; verify quality holds for
+    the deeper eigenspace too."""
+    K = 20
+    feats = _smooth_features(np.random.default_rng(7), h=30, w=30, d=96)
+    W = np.asarray(feature_affinity(jnp.asarray(feats)))
+    ev, ex = laplacian_eigs(jnp.asarray(W), K, solver="eigh", apply_sign_fix=False)
+    lv, lx = laplacian_eigs(jnp.asarray(W), K, solver="lobpcg",
+                            apply_sign_fix=False)
+    ev, ex, lv, lx = (np.asarray(a) for a in (ev, ex, lv, lx))
+    np.testing.assert_allclose(lv, ev, atol=1e-2, rtol=5e-2)
+    # Individual high-index eigenvectors can rotate within near-degenerate
+    # clusters; require subspace agreement (principal angles) instead.
+    Q_e, _ = np.linalg.qr(ex.T)
+    Q_l, _ = np.linalg.qr(lx.T)
+    sv = np.linalg.svd(Q_e.T @ Q_l, compute_uv=False)
+    assert sv.min() > 0.98, f"subspace alignment {sv.min()}"
+    # The leading (well-separated) eigenvectors must still match individually.
+    for k in range(6):
+        cos = abs(lx[k] @ ex[k]) / (np.linalg.norm(lx[k]) * np.linalg.norm(ex[k]))
+        assert cos > 0.99, f"ev{k}: cos={cos}"
+
+
 def test_auto_solver_small_graph_uses_eigh(rng):
     """Small graphs must stay on the exact path (identical to solver='eigh')."""
     feats = rng.standard_normal((100, 16)).astype(np.float32)
