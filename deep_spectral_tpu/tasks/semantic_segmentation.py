@@ -386,6 +386,20 @@ def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSE
 
 # ----------------------------------------------------------- checkpointing
 
+def _ckpt_tree(state: TrainState) -> dict:
+    """Full resumable train state — model, BN stats, optimizer, optional EMA,
+    step (the reference checkpoints model/EMA/optimizer/scheduler/epoch,
+    train.py:143-152 / util.py:258-307; the optax schedule is part of
+    opt_state so no separate scheduler entry is needed)."""
+    tree = {"params": jax.tree.map(np.asarray, state.params),
+            "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "step": int(state.step)}
+    if state.ema_params is not None:
+        tree["ema_params"] = jax.tree.map(np.asarray, state.ema_params)
+    return tree
+
+
 def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
                     keep_best: bool = False):
     """Orbax checkpoint of the full train state (reference torch checkpoints:
@@ -393,9 +407,7 @@ def save_checkpoint(ckpt_dir: str, state: TrainState, step: int,
     import orbax.checkpoint as ocp
     path = Path(ckpt_dir).absolute() / ("best" if keep_best else f"step_{step}")
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, {"params": jax.tree.map(np.asarray, state.params),
-                      "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-                      "step": int(state.step)}, force=True)
+    ckptr.save(path, _ckpt_tree(state), force=True)
     ckptr.wait_until_finished()
     return path
 
@@ -407,14 +419,16 @@ def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
         steps = sorted(path.glob("step_*"), key=lambda p: int(p.name.split("_")[1]))
         path = steps[-1] if steps else path / "best"
     ckptr = ocp.StandardCheckpointer()
-    target = {"params": jax.tree.map(np.asarray, state.params),
-              "batch_stats": jax.tree.map(np.asarray, state.batch_stats),
-              "step": 0}
-    restored = ckptr.restore(path, target)
-    return state.replace(params=jax.tree.map(jnp.asarray, restored["params"]),
-                         batch_stats=jax.tree.map(jnp.asarray,
-                                                  restored["batch_stats"]),
-                         step=jnp.asarray(restored["step"], jnp.int32))
+    restored = ckptr.restore(path, _ckpt_tree(state))
+    new = state.replace(
+        params=jax.tree.map(jnp.asarray, restored["params"]),
+        batch_stats=jax.tree.map(jnp.asarray, restored["batch_stats"]),
+        opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+        step=jnp.asarray(restored["step"], jnp.int32))
+    if state.ema_params is not None and "ema_params" in restored:
+        new = new.replace(ema_params=jax.tree.map(jnp.asarray,
+                                                  restored["ema_params"]))
+    return new
 
 
 # ----------------------------------------------------------------- train loop

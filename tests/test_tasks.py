@@ -253,13 +253,27 @@ def test_train_step_learns_and_freezes_backbone(rng):
 
 
 def test_checkpoint_roundtrip(tmp_path):
+    """Full resume parity: model, BN stats, optimizer state, and step all
+    round-trip (reference resumes model/EMA/optimizer/scheduler/epoch,
+    util.py:258-307)."""
     cfg = SS.TrainConfig(backbone=TINY, num_classes=3, crop_size=32, batch_size=2)
     model = SS.build_model(cfg)
     state = SS.create_train_state(cfg, model)
-    state = state.replace(step=jnp.asarray(7, jnp.int32))
-    SS.save_checkpoint(str(tmp_path / "ckpt"), state, 7)
+    # Take two real steps so the optimizer state is non-trivial.
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    y = jnp.zeros((2, 32, 32), jnp.int32)
+    for i in range(2):
+        state, _ = SS.train_step(state, x, y, jax.random.PRNGKey(i))
+    SS.save_checkpoint(str(tmp_path / "ckpt"), state, int(state.step))
     state2 = SS.create_train_state(cfg, model)
     state2 = SS.restore_checkpoint(str(tmp_path / "ckpt"), state2)
-    assert int(state2.step) == 7
-    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state2.step) == int(state.step) == 2
+    for name in ("params", "opt_state", "batch_stats"):
+        for a, b in zip(jax.tree.leaves(getattr(state, name)),
+                        jax.tree.leaves(getattr(state2, name))):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # Training continues identically from the restored state.
+    s1, l1 = SS.train_step(state, x, y, jax.random.PRNGKey(9))
+    s2, l2 = SS.train_step(state2, x, y, jax.random.PRNGKey(9))
+    assert float(l1["loss"]) == float(l2["loss"])
