@@ -182,7 +182,10 @@ def _einsum_attention(q, k, v, kv_mask):
 
 def _pad_inputs(q, k, v, kv_mask, block_q, block_k):
     B, H, T, hd = q.shape
-    blk = max(block_q, block_k)
+    # Pad to a common multiple of BOTH block sizes: the grid uses floor
+    # division per axis, so a padded length only one of them divides would
+    # silently drop trailing valid tokens (e.g. block_q=256, block_k=192).
+    blk = math.lcm(block_q, block_k)
     Tp = -(-T // blk) * blk
     if kv_mask is None:
         kv_mask = jnp.ones((B, T), dtype=bool)
@@ -204,6 +207,7 @@ def _flash_forward(q, k, v, kv_mask=None, *, block_q=256, block_k=256,
     qp, kp, vp, mp, Tp = _pad_inputs(q, k, v, kv_mask, block_q, block_k)
     block_q = min(block_q, Tp)
     block_k = min(block_k, Tp)
+    assert Tp % block_q == 0 and Tp % block_k == 0, (Tp, block_q, block_k)
     num_q_blocks = Tp // block_q
     num_kv_blocks = Tp // block_k
 
@@ -266,6 +270,7 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=256, block_k=256,
     di = jnp.broadcast_to(di[..., None], (B, H, Tp, LANES))
     block_q = min(block_q, Tp)
     block_k = min(block_k, Tp)
+    assert Tp % block_q == 0 and Tp % block_k == 0, (Tp, block_q, block_k)
     num_q_blocks = Tp // block_q
     num_kv_blocks = Tp // block_k
 

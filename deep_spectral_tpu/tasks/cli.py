@@ -36,9 +36,29 @@ def _localization(argv):
     p.add_argument("--ckpt_dir", default=None)
     p.add_argument("--remove_hards", action="store_true")
     p.add_argument("--output_dir", default="./outputs/localization")
+    p.add_argument("--coco_annotations", default=None,
+                   help="COCO instances json (default: "
+                        "<dataset_root>/annotations/instances_train2014.json)")
+    p.add_argument("--coco20k_list", default=None,
+                   help="LOST's published sel_20k file-name list; without it a "
+                        "seeded 20k fallback subset is used (not paper-comparable)")
+    p.add_argument("--keep_iscrowd", action="store_true",
+                   help="keep crowd GT boxes (the reference removes them by "
+                        "default, datasets.py:217)")
     a = p.parse_args(argv)
-    year = {"VOC07": "2007", "VOC12": "2012"}.get(a.dataset, "2012")
-    pairs = L.load_voc_detection(a.dataset_root, year=year, image_set=a.image_set)
+    if a.dataset == "COCO20k":
+        root = Path(a.dataset_root)
+        ann_json = a.coco_annotations or str(
+            root / "annotations" / "instances_train2014.json")
+        images_dir = next((root / d for d in ("train2014", "images")
+                           if (root / d).is_dir()), root)
+        ids = L.select_coco_20k(ann_json, sel_file=a.coco20k_list)
+        pairs = L.load_coco_detection(images_dir, ann_json, subset_ids=ids,
+                                      remove_iscrowd=not a.keep_iscrowd)
+    else:
+        year = {"VOC07": "2007", "VOC12": "2012"}[a.dataset]
+        pairs = L.load_voc_detection(a.dataset_root, year=year,
+                                     image_set=a.image_set)
     method = "lost" if a.lost else "dino_seg" if a.dino_seg else "eigenseg"
     model = params = None
     patch_size = 16
@@ -109,7 +129,11 @@ def _semantic_train(argv):
     cfg = load_config(a.config, a.overrides)
     matching = None
     if cfg.get("matching"):
-        matching = dict(eval(str(cfg.matching)))  # reference semantics
+        # The reference eval()s this config value (dataset/__init__.py:50);
+        # literal_eval accepts the same list-of-pairs syntax without the
+        # arbitrary-code-execution footgun.
+        import ast
+        matching = dict(ast.literal_eval(str(cfg.matching)))
         print(f"Using matching: {matching}")
     train_ds = SS.VOCSegmentationWithPseudolabels(
         cfg.data.root, cfg.data.train_image_set, cfg.segments_dir,
@@ -128,7 +152,8 @@ def _semantic_train(argv):
         use_ema=cfg.ema.use_ema, ema_decay=cfg.ema.decay,
         crop_size=cfg.data.transform.crop_size,
         resize_size=cfg.data.transform.resize_size,
-        batch_size=cfg.data.loader.batch_size, seed=cfg.seed)
+        batch_size=cfg.data.loader.batch_size, seed=cfg.seed,
+        precision=cfg.get("precision", "fp32"))
     state, best = SS.train(tcfg, train_ds, val_ds,
                            ckpt_dir=cfg.checkpoint.dir,
                            eval_every=cfg.eval_every,

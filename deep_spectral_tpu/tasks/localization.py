@@ -70,11 +70,13 @@ def load_voc_detection(root: str | Path, year: str = "2012",
 
 
 def load_coco_detection(images_dir: str | Path, annotations_json: str | Path,
-                        subset_ids: Optional[Sequence[int]] = None):
+                        subset_ids: Optional[Sequence[int]] = None,
+                        remove_iscrowd: bool = True):
     """[(image_path, gt_boxes (G,4) xyxy float32)] from a COCO instances json
-    (the reference wraps torchvision CocoDetection, datasets.py:76-88; boxes
-    come as xywh and convert to xyxy; crowd annotations are kept, matching the
-    reference's extract_gt for COCO)."""
+    (the reference wraps torchvision CocoDetection, datasets.py:76-88).
+    Matching the reference's extract_gt_COCO (datasets.py:217-235): crowd
+    annotations are REMOVED by default, xywh boxes convert to xyxy and round
+    to integer coordinates."""
     import json
     images_dir = Path(images_dir)
     with open(annotations_json) as f:
@@ -84,8 +86,11 @@ def load_coco_detection(images_dir: str | Path, annotations_json: str | Path,
     for a in ann["annotations"]:
         if keep is not None and a["image_id"] not in keep:
             continue
+        if remove_iscrowd and a.get("iscrowd", 0) == 1:
+            continue
         x, y, w, h = a["bbox"]
-        by_image.setdefault(a["image_id"], []).append([x, y, x + w, y + h])
+        by_image.setdefault(a["image_id"], []).append(
+            [round(x), round(y), round(x + w), round(y + h)])
     pairs = []
     for im in ann["images"]:
         iid = im["id"]
@@ -96,11 +101,29 @@ def load_coco_detection(images_dir: str | Path, annotations_json: str | Path,
     return pairs
 
 
-def select_coco_20k(annotations_json: str | Path, seed: int = 42,
-                    n: int = 20_000) -> list[int]:
-    """Deterministic 20k-image COCO subset (reference: datasets.py:324-368 —
-    the published COCO20k list is a seeded choice over sel2014 train images)."""
+def select_coco_20k(annotations_json: str | Path,
+                    sel_file: Optional[str | Path] = None,
+                    seed: int = 42, n: int = 20_000) -> list[int]:
+    """Image ids of the COCO20k subset.
+
+    With `sel_file` — LOST's published selection list of train2014 file names
+    (one `COCO_train2014_<id>.jpg` per line) — the ids come from the file,
+    exactly the reference's `select_coco_20k` (datasets.py:324-368).
+    Without it, falls back to a documented seeded choice over the annotation
+    file's images (NOT the published list; CorLoc numbers are then computed on
+    a different subset and are not comparable to the paper's)."""
     import json
+    if sel_file is not None:
+        ids = []
+        for line in Path(sel_file).read_text().splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            # "COCO_train2014_000000000009.jpg" -> 9 (reference parses the
+            # trailing integer the same way, datasets.py:336)
+            stem = line.rsplit("/", 1)[-1].split(".")[0]
+            ids.append(int(stem.split("_")[-1]))
+        return ids
     with open(annotations_json) as f:
         ann = json.load(f)
     image_ids = sorted({im["id"] for im in ann["images"]})

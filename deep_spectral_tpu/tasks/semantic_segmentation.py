@@ -120,9 +120,10 @@ def normalize_image(img_u8: np.ndarray) -> np.ndarray:
 
 def train_augment(rng: np.random.Generator, image: np.ndarray, seg: np.ndarray,
                   resize_size: int = 256, crop_size: int = 224) -> tuple:
-    """Smallest-max-size resize + random crop + hflip + color jitter
-    (the consumed subset of the reference's albumentations stack,
-    dataset/__init__.py:10-26 — the train loop only uses one view)."""
+    """Smallest-max-size resize + random crop + hflip + ColorJitter(brightness
+    0.4, contrast 0.4, saturation 0.2, hue 0.1, p=0.8) + ToGray(p=0.2) +
+    GaussianBlur(p=0.1) — the reference's consumed albumentations stack
+    (dataset/__init__.py:10-26; the train loop only uses one view)."""
     from PIL import Image as PILImage
     H, W = image.shape[:2]
     scale = resize_size / min(H, W)
@@ -143,8 +144,58 @@ def train_augment(rng: np.random.Generator, image: np.ndarray, seg: np.ndarray,
         img = (img - mean) * (1 + rng.uniform(-0.4, 0.4)) + mean     # contrast
         gray = img.mean(-1, keepdims=True)
         img = (img - gray) * (1 + rng.uniform(-0.2, 0.2)) + gray     # saturation
+        img = _hue_shift(np.clip(img, 0, 255), rng.uniform(-0.1, 0.1))  # hue
         image = np.clip(img, 0, 255).astype(np.uint8)
+    if rng.random() < 0.2:  # ToGray(p=0.2)
+        gray = image.astype(np.float32) @ np.array([0.299, 0.587, 0.114],
+                                                   np.float32)
+        image = np.repeat(np.clip(gray, 0, 255).astype(np.uint8)[..., None],
+                          3, axis=-1)
+    if rng.random() < 0.1:  # GaussianBlur(p=0.1), cv2-default kernel 3..7
+        ksize = int(rng.choice([3, 5, 7]))
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8  # cv2 default sigma
+        image = _gaussian_blur(image, ksize, sigma)
     return normalize_image(np.ascontiguousarray(image)), np.ascontiguousarray(seg)
+
+
+def _hue_shift(img: np.ndarray, factor: float) -> np.ndarray:
+    """Rotate hue by `factor` turns (ColorJitter hue semantics): RGB->HSV,
+    H += factor, ->RGB. `img` float32 in [0, 255]."""
+    if abs(factor) < 1e-8:
+        return img
+    x = img / 255.0
+    mx, mn = x.max(-1), x.min(-1)
+    v = mx
+    s = np.where(mx > 0, (mx - mn) / np.maximum(mx, 1e-12), 0.0)
+    c = mx - mn
+    safe_c = np.maximum(c, 1e-12)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    h = np.where(mx == r, ((g - b) / safe_c) % 6,
+                 np.where(mx == g, (b - r) / safe_c + 2, (r - g) / safe_c + 4)) / 6.0
+    h = np.where(c > 0, h, 0.0)
+    h = (h + factor) % 1.0
+    # HSV -> RGB, vectorized
+    i = np.floor(h * 6).astype(np.int32) % 6
+    f = h * 6 - np.floor(h * 6)
+    p, q, t = v * (1 - s), v * (1 - s * f), v * (1 - s * (1 - f))
+    lut = np.stack([np.stack([v, t, p], -1), np.stack([q, v, p], -1),
+                    np.stack([p, v, t], -1), np.stack([p, q, v], -1),
+                    np.stack([t, p, v], -1), np.stack([v, p, q], -1)], 0)
+    out = np.take_along_axis(lut, i[None, ..., None], axis=0)[0]
+    return out * 255.0
+
+
+def _gaussian_blur(img_u8: np.ndarray, ksize: int, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur with reflect padding (cv2.GaussianBlur-style)."""
+    r = ksize // 2
+    xs = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (xs / sigma) ** 2)
+    k /= k.sum()
+    img = img_u8.astype(np.float32)
+    img = np.pad(img, ((r, r), (r, r), (0, 0)), mode="reflect")
+    img = np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"), 0, img)
+    img = np.apply_along_axis(lambda m: np.convolve(m, k, mode="valid"), 1, img)
+    return np.clip(img, 0, 255).astype(np.uint8)
 
 
 # ------------------------------------------------------- cluster-matching eval
@@ -270,15 +321,22 @@ class TrainConfig:
     batch_size: int = 16
     seed: int = 1
     remat: bool = False  # rematerialize backbone activations (big batches)
+    # 'fp32' or 'bf16': bf16 backbone/head compute with fp32 params, norms and
+    # loss — the TPU analogue of the reference's fp16 Accelerator (train.py:29).
+    precision: str = "fp32"
 
 
 def build_model(cfg: TrainConfig):
+    if cfg.precision not in ("fp32", "bf16"):
+        raise ValueError(f"precision must be 'fp32' or 'bf16', got {cfg.precision!r}")
+    dtype = jnp.bfloat16 if cfg.precision == "bf16" else jnp.float32
     if isinstance(cfg.backbone, str) and "resnet" in cfg.backbone:
         from ..models.deeplab import DeepLabResNet
         return DeepLabResNet(cfg.num_classes)
     vit_cfg = cfg.backbone if not isinstance(cfg.backbone, str) \
         else get_model_config(cfg.backbone)
-    return DeepLabViT(vit_cfg, cfg.num_classes, remat=cfg.remat)
+    return DeepLabViT(vit_cfg, cfg.num_classes, compute_dtype=dtype,
+                      remat=cfg.remat)
 
 
 def create_train_state(cfg: TrainConfig, model: DeepLabViT,
@@ -308,7 +366,9 @@ def create_train_state(cfg: TrainConfig, model: DeepLabViT,
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     opt_state = tx.init(params)
-    ema = params if cfg.use_ema else None
+    # EMA starts as a COPY of params — aliasing them would donate the same
+    # buffer twice in the donated train_step.
+    ema = jax.tree.map(jnp.array, params) if cfg.use_ema else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=batch_stats, opt_state=opt_state,
                       ema_params=ema, tx=tx, apply_fn=model.apply)
@@ -333,14 +393,23 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
         loss_fn, has_aux=True)(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
-    # NaN guard: keep old state on a NaN loss (reference: train.py:213-216).
+    # NaN guard: on a non-finite loss the grads are non-finite too, so EVERY
+    # branch of the update (params, Adam moments, BN stats, EMA) is poisoned —
+    # revert all of them, not just params (reference exits on NaN,
+    # train.py:213-216; we keep training on the last good state instead).
     ok = jnp.isfinite(loss)
-    new_params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
-                              new_params, state.params)
+
+    def revert(new, old):
+        return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+    new_params = revert(new_params, state.params)
+    new_opt = revert(new_opt, state.opt_state)
+    new_bs = revert(new_bs, state.batch_stats)
     ema = state.ema_params
     if use_ema and ema is not None:
-        ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
-                           ema, new_params)
+        new_ema = jax.tree.map(lambda e, p: ema_decay * e + (1 - ema_decay) * p,
+                               ema, new_params)
+        ema = revert(new_ema, ema)
     acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
     new_state = state.replace(step=state.step + 1, params=new_params,
                               batch_stats=new_bs, opt_state=new_opt,
@@ -419,7 +488,26 @@ def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
         steps = sorted(path.glob("step_*"), key=lambda p: int(p.name.split("_")[1]))
         path = steps[-1] if steps else path / "best"
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, _ckpt_tree(state))
+    template = _ckpt_tree(state)
+    try:
+        restored = ckptr.restore(path, template)
+    except Exception:
+        # EMA presence may differ between the checkpoint and the current
+        # config (e.g. resuming a use_ema run from a no-EMA checkpoint) —
+        # retry with the template flipped rather than failing on an orbax
+        # tree-structure mismatch.
+        if "ema_params" in template:
+            template = {k: v for k, v in template.items() if k != "ema_params"}
+            restored = ckptr.restore(path, template)
+            print("warning: checkpoint has no EMA state — EMA params keep "
+                  "their current (re-initialized) values")
+        else:
+            template = dict(template)
+            template["ema_params"] = jax.tree.map(np.asarray, state.params)
+            restored = ckptr.restore(path, template)
+            print("warning: checkpoint contains EMA state but the current "
+                  "config does not use EMA — ignoring it")
+            restored.pop("ema_params", None)
     new = state.replace(
         params=jax.tree.map(jnp.asarray, restored["params"]),
         batch_stats=jax.tree.map(jnp.asarray, restored["batch_stats"]),
@@ -449,11 +537,15 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     from ..utils.logging import MetricWriter
     model = build_model(cfg)
     state = create_train_state(cfg, model, backbone_params)
+    start_step = 0
     if resume:
         # Resume model/step from an orbax checkpoint (the reference's
-        # resume_from_checkpoint, util.py:258-307).
+        # resume_from_checkpoint, util.py:258-307). The loop continues from
+        # the restored step so only the REMAINING steps run (the optax
+        # schedule count is already advanced inside opt_state).
         state = restore_checkpoint(resume, state)
-        print(f"Resumed from {resume} at step {int(state.step)}")
+        start_step = int(state.step)
+        print(f"Resumed from {resume} at step {start_step}")
     batch_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -478,7 +570,7 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     def producer():
         order = rng.permutation(len(dataset_train))
         cursor = 0
-        for _ in range(steps):
+        for _ in range(max(steps - start_step, 0)):
             ims, segs = [], []
             for _ in range(cfg.batch_size):
                 if cursor >= len(order):
@@ -495,7 +587,7 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    for step in range(steps):
+    for step in range(start_step, steps):
         ims_np, segs_np = batch_q.get()
         jrng, sub = jax.random.split(jrng)
         images_b = jnp.asarray(ims_np)

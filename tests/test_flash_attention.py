@@ -134,3 +134,17 @@ def test_flash_matches_vit_attention_module(rng):
                      jnp.asarray(v))
     np.testing.assert_allclose(out[0, :, :150], np.asarray(ref)[0, :, :150],
                                atol=2e-5)
+
+
+def test_flash_unequal_block_sizes(rng):
+    """block_q != block_k where neither divides the other's padded length:
+    padding must go to a common multiple so no trailing tokens are dropped."""
+    B, H, T, hd = 1, 2, 500, 64  # lcm(128, 192) = 384 -> Tp = 768
+    q = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    k = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    v = rng.standard_normal((B, H, T, hd)).astype(np.float32)
+    out = np.asarray(flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                     jnp.asarray(v), block_q=128, block_k=192,
+                                     interpret=True))
+    ref = _reference_attention(q, k, v, None)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -72,3 +72,100 @@ def test_train_loop_end_to_end(voc_root, tmp_path):
     SS.generate_predictions(state, train_ds, tmp_path / "gen", max_images=2)
     assert len(list((tmp_path / "gen" / "pred").iterdir())) == 2
     assert len(list((tmp_path / "gen" / "gt").iterdir())) == 2
+
+
+def test_nan_guard_reverts_full_state(rng):
+    """A non-finite loss must revert params AND optimizer moments AND BN stats
+    AND EMA — otherwise NaN Adam moments poison the next (finite-loss) step."""
+    import jax
+    import jax.numpy as jnp
+    cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                         batch_size=2, use_ema=True, unfrozen_backbone_layers=-1)
+    model = SS.build_model(cfg)
+    state = SS.create_train_state(cfg, model)
+    good = np.asarray(rng.standard_normal((2, 32, 32, 3)), np.float32)
+    labels = np.asarray(rng.integers(0, 2, (2, 32, 32)), np.int32)
+    key = jax.random.PRNGKey(0)
+    # One good step to get non-trivial moments.
+    state, logs = SS.train_step(state, jnp.asarray(good), jnp.asarray(labels),
+                                key, use_ema=True, ema_decay=0.9)
+    assert np.isfinite(float(logs["loss"]))
+    before = jax.tree.map(np.asarray, (state.params, state.opt_state,
+                                       state.batch_stats, state.ema_params))
+    bad = good.copy()
+    bad[0, 0, 0, 0] = np.nan
+    state2, logs2 = SS.train_step(state, jnp.asarray(bad), jnp.asarray(labels),
+                                  key, use_ema=True, ema_decay=0.9)
+    assert not np.isfinite(float(logs2["loss"]))
+    after = jax.tree.map(np.asarray, (state2.params, state2.opt_state,
+                                      state2.batch_stats, state2.ema_params))
+    flat_b = jax.tree_util.tree_leaves(before)
+    flat_a = jax.tree_util.tree_leaves(after)
+    assert len(flat_b) == len(flat_a)
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    # And a following good step must stay finite.
+    state3, logs3 = SS.train_step(state2, jnp.asarray(good), jnp.asarray(labels),
+                                  key, use_ema=True, ema_decay=0.9)
+    assert np.isfinite(float(logs3["loss"]))
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree_util.tree_leaves(state3.params))
+
+
+def test_resume_runs_only_remaining_steps(voc_root, tmp_path):
+    """Resuming must continue from the restored step, not re-run max_steps."""
+    root, segs = voc_root
+    train_ds = SS.VOCSegmentationWithPseudolabels(str(root), "all", str(segs))
+    cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                         resize_size=40, batch_size=2, lr=1e-3,
+                         max_train_steps=6, unfrozen_backbone_layers=0)
+    state, _ = SS.train(cfg, train_ds, log_every=0, max_steps=6)
+    path = SS.save_checkpoint(str(tmp_path / "ck"), state, 6)
+    cfg2 = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                          resize_size=40, batch_size=2, lr=1e-3,
+                          max_train_steps=10, unfrozen_backbone_layers=0)
+    state2, _ = SS.train(cfg2, train_ds, log_every=0, max_steps=10,
+                         resume=str(path))
+    assert int(state2.step) == 10  # 6 restored + 4 remaining, not 6 + 10
+
+
+def test_restore_ema_presence_mismatch(voc_root, tmp_path):
+    """Restoring across a use_ema config change must not crash on an orbax
+    tree-structure mismatch."""
+    cfg_noema = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                               batch_size=2, use_ema=False)
+    model = SS.build_model(cfg_noema)
+    state_noema = SS.create_train_state(cfg_noema, model)
+    p1 = SS.save_checkpoint(str(tmp_path / "a"), state_noema, 1)
+
+    cfg_ema = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                             batch_size=2, use_ema=True)
+    state_ema = SS.create_train_state(cfg_ema, SS.build_model(cfg_ema))
+    # no-EMA checkpoint -> EMA config: EMA params keep their init values
+    restored = SS.restore_checkpoint(str(p1), state_ema)
+    assert restored.ema_params is not None
+    assert int(restored.step) == int(state_noema.step)
+    # EMA checkpoint -> no-EMA config: EMA entry ignored
+    p2 = SS.save_checkpoint(str(tmp_path / "b"), state_ema, 2)
+    restored2 = SS.restore_checkpoint(str(p2), state_noema)
+    assert restored2.ema_params is None
+    assert int(restored2.step) == int(state_ema.step)
+
+
+def test_bf16_precision_knob(rng):
+    """precision='bf16' trains with a bf16 backbone and stays loss-close to fp32."""
+    import jax
+    import jax.numpy as jnp
+    losses = {}
+    for prec in ("fp32", "bf16"):
+        cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                             batch_size=2, precision=prec,
+                             unfrozen_backbone_layers=-1)
+        model = SS.build_model(cfg)
+        state = SS.create_train_state(cfg, model)
+        x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, (2, 32, 32)), jnp.int32)
+        _, logs = SS.train_step(state, x, y, jax.random.PRNGKey(0))
+        losses[prec] = float(logs["loss"])
+    assert np.isfinite(losses["bf16"])
+    assert abs(losses["bf16"] - losses["fp32"]) < 0.05 * max(abs(losses["fp32"]), 1.0)
