@@ -30,14 +30,19 @@ class ConvBNReLU(nn.Module):
     use_relu: bool = True
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, mask=None):
+        """`mask` ((B, H, W, 1), bucket-padded eval): zeroing the output at
+        padded positions makes the NEXT conv's zero-padding semantics at the
+        valid-region border identical to an unpadded forward's, so padding is
+        exactly inert through arbitrarily deep conv stacks."""
         pad = self.dilation * (self.kernel - 1) // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     kernel_dilation=(self.dilation, self.dilation),
                     padding=[(pad, pad), (pad, pad)], use_bias=False)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)
-        return nn.relu(x) if self.use_relu else x
+        x = nn.relu(x) if self.use_relu else x
+        return x if mask is None else x * mask
 
 
 class ASPP(nn.Module):
@@ -47,18 +52,25 @@ class ASPP(nn.Module):
     atrous_rates: Sequence[int] = (12, 24, 36)
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        branches = [ConvBNReLU(self.out_features, kernel=1)(x, train)]
+    def __call__(self, x, train: bool = False, mask=None):
+        branches = [ConvBNReLU(self.out_features, kernel=1)(x, train, mask)]
         for rate in self.atrous_rates:
             branches.append(
-                ConvBNReLU(self.out_features, kernel=3, dilation=rate)(x, train))
-        # Global pooling branch.
-        g = jnp.mean(x, axis=(1, 2), keepdims=True)
+                ConvBNReLU(self.out_features, kernel=3, dilation=rate)(x, train,
+                                                                       mask))
+        # Global pooling branch (masked mean over the valid region only).
+        if mask is None:
+            g = jnp.mean(x, axis=(1, 2), keepdims=True)
+        else:
+            g = jnp.sum(x * mask, axis=(1, 2), keepdims=True) / \
+                jnp.maximum(jnp.sum(mask, axis=(1, 2), keepdims=True), 1.0)
         g = ConvBNReLU(self.out_features, kernel=1)(g, train)
         g = jnp.broadcast_to(g, x.shape[:3] + (self.out_features,))
+        if mask is not None:
+            g = g * mask
         branches.append(g)
         y = jnp.concatenate(branches, axis=-1)
-        y = ConvBNReLU(self.out_features, kernel=1)(y, train)
+        y = ConvBNReLU(self.out_features, kernel=1)(y, train, mask)
         y = nn.Dropout(0.5, deterministic=not train)(y)
         return y
 
@@ -69,12 +81,12 @@ class DeepLabHeadV3Plus(nn.Module):
     aspp_rates: Sequence[int] = (12, 24, 36)
 
     @nn.compact
-    def __call__(self, low_level, out, train: bool = False):
-        ll = ConvBNReLU(48, kernel=1)(low_level, train)
-        y = ASPP(256, self.aspp_rates)(out, train)
+    def __call__(self, low_level, out, train: bool = False, mask=None):
+        ll = ConvBNReLU(48, kernel=1)(low_level, train, mask)
+        y = ASPP(256, self.aspp_rates)(out, train, mask)
         y = resize_bilinear(y, ll.shape[1:3])
         y = jnp.concatenate([ll, y], axis=-1)  # 48 + 256 = 304
-        y = ConvBNReLU(256, kernel=3)(y, train)
+        y = ConvBNReLU(256, kernel=3)(y, train, mask)
         return nn.Conv(self.num_classes, (1, 1))(y)
 
 
@@ -84,9 +96,9 @@ class DeepLabHead(nn.Module):
     aspp_rates: Sequence[int] = (12, 24, 36)
 
     @nn.compact
-    def __call__(self, low_level, out, train: bool = False):
-        y = ASPP(256, self.aspp_rates)(out, train)
-        y = ConvBNReLU(256, kernel=3)(y, train)
+    def __call__(self, low_level, out, train: bool = False, mask=None):
+        y = ASPP(256, self.aspp_rates)(out, train, mask)
+        y = ConvBNReLU(256, kernel=3)(y, train, mask)
         return nn.Conv(self.num_classes, (1, 1))(y)
 
 
@@ -106,20 +118,38 @@ class DeepLabViT(nn.Module):
     remat: bool = False  # jax.checkpoint the backbone blocks (large batches)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, token_mask=None):
+    def __call__(self, x, train: bool = False, token_mask=None,
+                 spatial_mask=None, pos_embed_override=None,
+                 return_grid: bool = False):
+        """spatial_mask ((B, hp, wp) bool, optional): valid-patch mask for
+        bucket-padded evaluation — derives the attention token mask, zeroes
+        padded feature cells and threads through the head's convs so padding
+        is exactly inert. pos_embed_override: see VisionTransformer.
+        return_grid: return patch-grid logits (B, hp, wp, C) without the final
+        bilinear upsample (the bucketed eval edge-replicates the grid first)."""
         B, H, W, _ = x.shape
         P = self.vit_cfg.patch_size
         hp, wp = H // P, W // P
         vit = VisionTransformer(self.vit_cfg, self.compute_dtype,
                                 self.attention_impl, self.remat,
                                 name="backbone")
-        outs = vit(x, n_intermediates=5, token_mask=token_mask)
+        if spatial_mask is not None and token_mask is None:
+            token_mask = spatial_mask.reshape(B, hp * wp)
+        outs = vit(x, n_intermediates=5, token_mask=token_mask,
+                   pos_embed_override=pos_embed_override)
         inters = outs["intermediates"]
         # layer -5 -> low_level, final layer -> out (model.py:75-77), CLS dropped.
         low = inters[0][:, 1:, :].reshape(B, hp, wp, -1)
         out = inters[-1][:, 1:, :].reshape(B, hp, wp, -1)
+        m = None
+        if spatial_mask is not None:
+            m = spatial_mask.astype(low.dtype)[..., None]  # (B, hp, wp, 1)
+            low = low * m
+            out = out * m
         head_cls = DeepLabHeadV3Plus if self.head == "deeplabv3plus" else DeepLabHead
-        logits = head_cls(self.num_classes, name="head")(low, out, train)
+        logits = head_cls(self.num_classes, name="head")(low, out, train, m)
+        if return_grid:
+            return logits
         return resize_bilinear(logits, (H, W))
 
 

@@ -186,7 +186,8 @@ class VisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, qkv_block: int = -1,
                  n_intermediates: int = 1, want_attn: bool = False,
-                 token_mask: Optional[jax.Array] = None):
+                 token_mask: Optional[jax.Array] = None,
+                 pos_embed_override: Optional[jax.Array] = None):
         cfg = self.cfg
         B, H, W, C = x.shape
         P = cfg.patch_size
@@ -207,7 +208,15 @@ class VisionTransformer(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (1, 1 + cfg.pos_grid * cfg.pos_grid, cfg.embed_dim),
         )
-        pos = interpolate_pos_embed(pos_embed, cfg.pos_grid, h, w)
+        if pos_embed_override is not None:
+            # Caller-supplied (B or 1, 1+N, D) positional embeddings. Used by
+            # bucket-padded evaluation: each image's pos embeds are interpolated
+            # to ITS OWN valid grid (as an unpadded forward would) and placed at
+            # the valid token positions of the bucket, so padding stays exactly
+            # inert despite the grid-size-dependent interpolation below.
+            pos = pos_embed_override
+        else:
+            pos = interpolate_pos_embed(pos_embed, cfg.pos_grid, h, w)
         tokens = jnp.concatenate(
             [jnp.broadcast_to(cls_token, (B, 1, cfg.embed_dim)), tokens], axis=1)
         tokens = (tokens + pos).astype(self.compute_dtype)

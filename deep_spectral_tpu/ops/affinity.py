@@ -142,37 +142,54 @@ def rw_affinity(
     *,
     mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Dense random-walk color affinity over a (2*radius+1)^2 local window.
+    """Dense random-walk color affinity, matching pymatting's `_rw_laplacian`.
 
-    w_ij = exp(-||c_i - c_j||^2 / (2*sigma^2)) for j in the window of i, 0 elsewhere
-    (the random-walk Laplacian weight used by pymatting's `_rw_laplacian`;
-    reference call site: extract/extract_utils.py:191-204).
+    Semantics reproduced from pymatting/laplacian/rw_laplacian.py (the function
+    the reference delegates to at extract/extract_utils.py:191-204):
+
+      * for every pixel i and every offset (dy, dx) in the (2r+1)^2 window,
+        the neighbor coordinate is CLAMPED into the image (not dropped), so
+        border pixels contribute duplicate (i, j) and self (i, i) entries;
+      * each entry's value is exp(-||c_i - c_j||^2 / (2*sigma^2));
+      * the CSR constructor sums duplicates, so W[i, j] = w_ij * #{d : clamp(i+d) = j};
+      * the result is NOT explicitly symmetrized (clamp counts happen to be
+        mirror-symmetric, so W is symmetric anyway).
+
+    With a validity `mask` (bucketed padding, valid region = top-left rectangle),
+    neighbors are clamped to the VALID rectangle — reproducing what pymatting
+    would compute on the unpadded image — and padded rows contribute nothing.
     """
     h, w = image_lr.shape[:2]
     n = h * w
     img = image_lr.astype(jnp.float32)
-    valid = None if mask is None else mask.astype(jnp.float32).reshape(h, w)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     flat_idx = (rows * w + cols).reshape(-1)
 
+    if mask is None:
+        vh, vw = h, w
+        valid2d = None
+    else:
+        m2 = mask.reshape(h, w)
+        # Padding is bottom/right, so the valid region is [0, vh) x [0, vw).
+        vh = jnp.sum(m2[:, 0].astype(jnp.int32))
+        vw = jnp.sum(m2[0, :].astype(jnp.int32))
+        valid2d = m2.astype(jnp.float32)
+
     W = jnp.zeros((n, n), dtype=jnp.float32)
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
-            ny = jnp.clip(rows + dy, 0, h - 1)
-            nx = jnp.clip(cols + dx, 0, w - 1)
-            in_bounds = ((rows + dy >= 0) & (rows + dy < h) &
-                         (cols + dx >= 0) & (cols + dx < w)).astype(jnp.float32)
+            ny = jnp.clip(rows + dy, 0, vh - 1)
+            nx = jnp.clip(cols + dx, 0, vw - 1)
             neighbor = img[ny, nx]  # (h, w, 3)
             d2 = jnp.sum((img - neighbor) ** 2, axis=-1)
-            wgt = jnp.exp(-d2 / (2.0 * sigma * sigma)) * in_bounds
-            if valid is not None:
-                wgt = wgt * valid * valid[ny, nx]
+            wgt = jnp.exp(-d2 / (2.0 * sigma * sigma))
+            if valid2d is not None:
+                wgt = wgt * valid2d  # rows outside the valid region emit nothing
             nbr_idx = (ny * w + nx).reshape(-1)
             W = W.at[flat_idx, nbr_idx].add(wgt.reshape(-1))
-    # Symmetrize (window + clipping keep it symmetric already, but be exact).
-    return 0.5 * (W + W.T)
+    return W
 
 
 @partial(jax.jit, static_argnames=("n_neighbors", "distance_weights"))

@@ -27,6 +27,17 @@ import jax.numpy as jnp
 CRFParams = Tuple[float, float, float, float, float, float]
 DEFAULT_CRF_PARAMS: CRFParams = (10.0, 80.0, 13.0, 3.0, 3.0, 5.0)
 
+# Self-gain of the bilateral grid (splat -> unnormalized [1,2,1] blur -> slice)
+# per unit of exact kernel mass. Analytic estimate: per-dim self response of
+# the trilinear/blur chain is 2(1 - f + f^2), expectation 5/3, so (5/3)^5
+# ~= 12.86 over the 5 grid dims. EMPIRICALLY CALIBRATED on piecewise-constant
+# +noise images across (alpha, beta) in {(80,13),(16,13),(8,20)} and three
+# image sizes (scripts/calibrate_crf_gain.py): median gain 14.4, mean 14.2
+# (the blur also widens the kernel, which raises the realized gain above the
+# analytic self-response). tests/test_crf.py asserts >= 95% label agreement
+# with an exact O(N^2) mean-field oracle at this value.
+GRID_SELF_GAIN = 14.2
+
 
 def _gaussian_kernel_1d(sigma: float) -> jax.Array:
     radius = max(int(2.5 * sigma + 0.5), 1)
@@ -209,13 +220,11 @@ def dense_crf_from_probs(image: jax.Array, probs: jax.Array, *,
     # Krahenbuhl-style mean field uses UNNORMALIZED kernel sums: a pixel's
     # message is the total kernel-weighted label mass of its (spatial x color)
     # neighborhood — typically hundreds of units, so the pairwise term drives
-    # the dynamics and the unary acts mainly through the initialization. The
-    # bilateral grid's splat+blur+slice has a constant self-gain of
-    # (5/3)^5 per unit kernel (trilinear splat/slice through an unnormalized
-    # [1,2,1] blur: per-dim self response 2(1 - f + f^2), expectation 5/3);
-    # dividing by it calibrates the grid sum to a unit-peak Gaussian kernel,
-    # commensurate with the exact unit-peak spatial Gaussian of the w2 term.
-    K0 = (5.0 / 3.0) ** 5
+    # the dynamics and the unary acts mainly through the initialization.
+    # Dividing the grid sum by its measured self-gain calibrates it to a
+    # unit-peak Gaussian kernel, commensurate with the exact unit-peak spatial
+    # Gaussian of the w2 term (see GRID_SELF_GAIN above for the calibration).
+    K0 = GRID_SELF_GAIN
 
     def step(_, Q):
         # Bilateral (appearance) message: unnormalized kernel-weighted label

@@ -39,9 +39,15 @@ def run_all(
     downsample_factor: int = 16,
     precision: str = "bf16",
     trace_dir: str | None = None,
+    stop_after: str | None = None,
 ) -> dict:
     """Runs features -> eigs -> multi/single-region -> bboxes -> bbox features
-    -> clusters -> semantic -> CRF. Returns the output directory map."""
+    -> clusters -> semantic -> CRF. Returns the output directory map.
+
+    stop_after: stage name ('extract_features', 'extract_eigs', 'multi_region',
+    'single_region', 'bboxes', 'bbox_features', 'bbox_clusters',
+    'semantic_segmaps', 'crf') after which to stop — e.g. 'extract_eigs' for
+    the localization recipe, which only consumes eigs."""
     root = Path(output_root)
     n_images = len([ln for ln in Path(images_list).read_text().splitlines()
                     if ln.strip()])
@@ -57,61 +63,63 @@ def run_all(
         "crf": root / "semantic_segmentations" / "crf" / "fixed" / "segmaps",
         "crf_single": root / "single_region_segmentation" / "crf",
     }
+    plan = [
+        ("extract_features", lambda: stages.extract_features(
+            images_list=images_list, images_root=images_root,
+            model_name=model_name, batch_size=feature_batch_size,
+            output_dir=str(dirs["features"]), precision=precision)),
+        ("extract_eigs", lambda: stages.extract_eigs(
+            images_root=images_root, features_dir=str(dirs["features"]),
+            output_dir=str(dirs["eigs"]), which_matrix="laplacian", K=K,
+            image_color_lambda=image_color_lambda, batch_size=batch_size)),
+        ("multi_region", lambda: stages.extract_multi_region_segmentations(
+            features_dir=str(dirs["features"]), eigs_dir=str(dirs["eigs"]),
+            output_dir=str(dirs["multi"]),
+            non_adaptive_num_segments=non_adaptive_num_segments,
+            batch_size=batch_size)),
+        ("single_region", lambda: stages.extract_single_region_segmentations(
+            features_dir=str(dirs["features"]), eigs_dir=str(dirs["eigs"]),
+            output_dir=str(dirs["single"]))),
+        ("bboxes", lambda: stages.extract_bboxes(
+            features_dir=str(dirs["features"]),
+            segmentations_dir=str(dirs["multi"]),
+            output_file=str(dirs["bboxes"]),
+            num_erode=num_erode, num_dilate=num_dilate)),
+        ("bbox_features", lambda: stages.extract_bbox_features(
+            images_root=images_root, bbox_file=str(dirs["bboxes"]),
+            model_name=model_name, output_file=str(dirs["bbox_features"]),
+            precision=precision)),
+        ("bbox_clusters", lambda: stages.extract_bbox_clusters(
+            bbox_features_file=str(dirs["bbox_features"]),
+            output_file=str(dirs["bbox_clusters"]),
+            num_clusters=num_clusters, pca_dim=pca_dim)),
+        ("semantic_segmaps", lambda: stages.extract_semantic_segmentations(
+            segmentations_dir=str(dirs["multi"]),
+            bbox_clusters_file=str(dirs["bbox_clusters"]),
+            output_dir=str(dirs["semantic"]))),
+        ("crf", lambda: stages.extract_crf_segmentations(
+            images_list=images_list, images_root=images_root,
+            segmentations_dir=str(dirs["semantic"]),
+            output_dir=str(dirs["crf"]), num_classes=crf_num_classes,
+            downsample_factor=downsample_factor)),
+        ("crf_single_region", lambda: stages.extract_crf_segmentations(
+            images_list=images_list, images_root=images_root,
+            segmentations_dir=str(dirs["single"]),
+            output_dir=str(dirs["crf_single"]), num_classes=2,
+            downsample_factor=downsample_factor)),
+    ]
+    stage_names = [name for name, _ in plan]
+    if stop_after is not None and stop_after not in stage_names:
+        raise ValueError(
+            f"unknown stop_after {stop_after!r}; one of {stage_names}")
     timer = StageTimer()
     with trace(trace_dir):
-        with timer.stage("extract_features", n_images):
-            stages.extract_features(
-                images_list=images_list, images_root=images_root,
-                model_name=model_name, batch_size=feature_batch_size,
-                output_dir=str(dirs["features"]), precision=precision)
-        with timer.stage("extract_eigs", n_images):
-            stages.extract_eigs(
-                images_root=images_root, features_dir=str(dirs["features"]),
-                output_dir=str(dirs["eigs"]), which_matrix="laplacian", K=K,
-                image_color_lambda=image_color_lambda, batch_size=batch_size)
-        with timer.stage("multi_region", n_images):
-            stages.extract_multi_region_segmentations(
-                features_dir=str(dirs["features"]), eigs_dir=str(dirs["eigs"]),
-                output_dir=str(dirs["multi"]),
-                non_adaptive_num_segments=non_adaptive_num_segments,
-                batch_size=batch_size)
-        with timer.stage("single_region", n_images):
-            stages.extract_single_region_segmentations(
-                features_dir=str(dirs["features"]), eigs_dir=str(dirs["eigs"]),
-                output_dir=str(dirs["single"]))
-        with timer.stage("bboxes", n_images):
-            stages.extract_bboxes(
-                features_dir=str(dirs["features"]),
-                segmentations_dir=str(dirs["multi"]),
-                output_file=str(dirs["bboxes"]),
-                num_erode=num_erode, num_dilate=num_dilate)
-        with timer.stage("bbox_features", n_images):
-            stages.extract_bbox_features(
-                images_root=images_root, bbox_file=str(dirs["bboxes"]),
-                model_name=model_name, output_file=str(dirs["bbox_features"]),
-                precision=precision)
-        with timer.stage("bbox_clusters", n_images):
-            stages.extract_bbox_clusters(
-                bbox_features_file=str(dirs["bbox_features"]),
-                output_file=str(dirs["bbox_clusters"]),
-                num_clusters=num_clusters, pca_dim=pca_dim)
-        with timer.stage("semantic_segmaps", n_images):
-            stages.extract_semantic_segmentations(
-                segmentations_dir=str(dirs["multi"]),
-                bbox_clusters_file=str(dirs["bbox_clusters"]),
-                output_dir=str(dirs["semantic"]))
-        with timer.stage("crf", n_images):
-            stages.extract_crf_segmentations(
-                images_list=images_list, images_root=images_root,
-                segmentations_dir=str(dirs["semantic"]),
-                output_dir=str(dirs["crf"]), num_classes=crf_num_classes,
-                downsample_factor=downsample_factor)
-        with timer.stage("crf_single_region", n_images):
-            stages.extract_crf_segmentations(
-                images_list=images_list, images_root=images_root,
-                segmentations_dir=str(dirs["single"]),
-                output_dir=str(dirs["crf_single"]), num_classes=2,
-                downsample_factor=downsample_factor)
+        for name, thunk in plan:
+            with timer.stage(name, n_images):
+                thunk()
+            if stop_after == name:
+                print(f"Stopped after stage {name!r}")
+                break
     print(timer.summary())
     return {k: str(v) for k, v in dirs.items()}
 

@@ -32,7 +32,7 @@ from flax.core import FrozenDict
 from ..models.deeplab import DeepLabViT, backbone_param_labels
 from ..models.vit import get_model_config
 from ..ops import metrics as M
-from ..ops.resize import resize_nearest
+from ..ops.resize import resize_bilinear, resize_nearest
 from ..utils.image_io import IMAGENET_MEAN, IMAGENET_STD, load_image_rgb
 from ..utils.serialization import load_segmap_png
 
@@ -269,24 +269,36 @@ def visualize_overlays(dataset, match, output_dir, max_images: int = 40):
 
 
 def generate_predictions(state: "TrainState", dataset, output_dir,
-                         max_images: Optional[int] = None):
+                         max_images: Optional[int] = None,
+                         bucketed: bool = False, batch_size: int = 8):
     """Dump model predictions (and GT when present) as PNGs — the reference's
-    `generate` job (train.py:351-388)."""
+    `generate` job (train.py:351-388). bucketed=True batches through padded
+    shape buckets (O(buckets) compiles; pixel-exact, see bucketed_predictions)."""
     out = Path(output_dir)
     (out / "pred").mkdir(parents=True, exist_ok=True)
     (out / "gt").mkdir(parents=True, exist_ok=True)
     from ..utils.serialization import save_segmap_png
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
-    for i in range(n):
-        image, _, target, stem = dataset[i]
-        x = normalize_image(image)[None]
-        P = 16
-        H, W = x.shape[1:3]
-        pred = np.asarray(eval_step(state, jnp.asarray(
-            x[:, : (H // P) * P, : (W // P) * P])))[0]
+
+    def save(i, pred):
+        _, _, target, stem = dataset[i]
         save_segmap_png(pred.astype(np.uint8), out / "pred" / f"{stem}.png")
         if target is not None:
             save_segmap_png(np.asarray(target, np.uint8), out / "gt" / f"{stem}.png")
+
+    if bucketed:
+        for i, pred in bucketed_predictions(state, dataset, list(range(n)),
+                                            batch_size=batch_size):
+            save(i, pred)
+    else:
+        for i in range(n):
+            image, _, _, _ = dataset[i]
+            x = normalize_image(image)[None]
+            P = 16
+            H, W = x.shape[1:3]
+            pred = np.asarray(eval_step(state, jnp.asarray(
+                x[:, : (H // P) * P, : (W // P) * P])))[0]
+            save(i, pred)
     print(f"Wrote {n} predictions to {out}")
 
 
@@ -425,27 +437,166 @@ def eval_step(state: TrainState, images: jax.Array) -> jax.Array:
     return jnp.argmax(logits, axis=-1)
 
 
+# ------------------------------------------------- bucket-padded evaluation
+#
+# The reference evaluates val images one at a time at native resolution
+# (train.py:278-348, batch-size-1). Under XLA that costs one compilation per
+# distinct image shape — 40-300 s each over a remote-compile link. The
+# bucketed path pads images into <= 2 shape buckets (landscape/portrait
+# elementwise-max) and keeps padding EXACTLY inert:
+#   * per-image pos embeds are interpolated to the image's own grid on the
+#     host and placed at the valid token positions (pos_embed_override);
+#   * attention is token-masked; head convs re-zero padded cells after every
+#     conv (see ConvBNReLU), so zero-padding at the valid border behaves like
+#     an unpadded forward's conv padding;
+#   * grid logits are edge-replicated into the padded cells before the final
+#     bilinear upsample, reproducing the unpadded resize's edge clamp.
+# tests/test_train_e2e.py asserts pixel-exact agreement with per-image eval.
+
+@partial(jax.jit, static_argnames=("patch_size",))
+def eval_step_bucketed(state: TrainState, images: jax.Array, vhw: jax.Array,
+                       pos: jax.Array, patch_size: int = 16) -> jax.Array:
+    """images: (B, Hb, Wb, 3) zero-padded batch; vhw: (B, 2) valid pixel dims
+    (multiples of patch_size); pos: (B, 1+hp*wp, D) per-image pos embeds.
+    Returns (B, Hb, Wb) int predictions (valid within each image's region)."""
+    B, Hb, Wb, _ = images.shape
+    P = patch_size
+    hp, wp = Hb // P, Wb // P
+    vh, vw = vhw[:, 0] // P, vhw[:, 1] // P
+    gm = (jnp.arange(hp)[None, :, None] < vh[:, None, None]) & \
+         (jnp.arange(wp)[None, None, :] < vw[:, None, None])  # (B, hp, wp)
+    grid = state.apply_fn(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        images, train=False, spatial_mask=gm, pos_embed_override=pos,
+        return_grid=True)  # (B, hp, wp, C)
+    # Edge-replicate each image's valid grid into its padding.
+    ii = jnp.minimum(jnp.arange(hp)[None, :], vh[:, None] - 1)  # (B, hp)
+    jj = jnp.minimum(jnp.arange(wp)[None, :], vw[:, None] - 1)  # (B, wp)
+    rep = grid[jnp.arange(B)[:, None, None], ii[:, :, None], jj[:, None, :]]
+    logits = resize_bilinear(rep, (Hb, Wb))
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _eval_buckets(shapes):
+    """<= 2 bucket shapes: elementwise max over landscape / portrait groups
+    (every image fits its orientation's bucket by construction)."""
+    buckets = []
+    for grp in ([s for s in shapes if s[1] >= s[0]],
+                [s for s in shapes if s[1] < s[0]]):
+        if grp:
+            buckets.append((max(h for h, _ in grp), max(w for _, w in grp)))
+    return sorted(set(buckets))
+
+
+def _pos_for_bucket(pos_embed: np.ndarray, vh: int, vw: int, hp: int, wp: int,
+                    cache: dict) -> np.ndarray:
+    """Interpolate stored pos embeds to the image's own (vh, vw) grid — exactly
+    what an unpadded forward computes — and embed at the bucket's valid token
+    positions (padding gets zeros; those tokens are attention-masked and their
+    features zeroed). Runs on the CPU backend (tiny op; avoids remote compiles)."""
+    key = (vh, vw, hp, wp)
+    if key not in cache:
+        from ..models.vit import interpolate_pos_embed
+        grid = int(round((pos_embed.shape[1] - 1) ** 0.5))
+        with jax.default_device(jax.devices("cpu")[0]):
+            native = np.asarray(interpolate_pos_embed(
+                jnp.asarray(pos_embed), grid, vh, vw))[0]  # (1+vh*vw, D)
+        D = native.shape[-1]
+        full = np.zeros((1 + hp * wp, D), np.float32)
+        full[0] = native[0]
+        patch = np.zeros((hp, wp, D), np.float32)
+        patch[:vh, :vw] = native[1:].reshape(vh, vw, D)
+        full[1:] = patch.reshape(-1, D)
+        cache[key] = full
+    return cache[key]
+
+
+def bucketed_predictions(state: TrainState, dataset, indices,
+                         patch_size: int = 16, batch_size: int = 8):
+    """Yield (dataset_index, pred (H, W) int32) for each index, computed through
+    <= 2 padded shape buckets (O(buckets) compiled programs instead of one per
+    image shape). Requires a ViT backbone (pos_embed in params)."""
+    P = patch_size
+    backbone = state.params["backbone"]
+    if "pos_embed" not in backbone:
+        raise ValueError("bucketed evaluation requires a ViT backbone")
+    pos_embed = np.asarray(backbone["pos_embed"], np.float32)
+    shapes = {}
+    for i in indices:
+        image, _, _, _ = dataset[i]
+        shapes[i] = ((image.shape[0] // P) * P, (image.shape[1] // P) * P)
+    buckets = _eval_buckets(list(shapes.values()))
+    assign: dict = {b: [] for b in buckets}
+    for i, s in shapes.items():
+        fits = [b for b in buckets if b[0] >= s[0] and b[1] >= s[1]]
+        assign[min(fits, key=lambda b: b[0] * b[1])].append(i)
+    pos_cache: dict = {}
+    for (Hb, Wb), idxs in assign.items():
+        if not idxs:
+            continue
+        hp, wp = Hb // P, Wb // P
+        for c0 in range(0, len(idxs), batch_size):
+            chunk = idxs[c0:c0 + batch_size]
+            n_real = len(chunk)
+            padded_chunk = chunk + [chunk[-1]] * (batch_size - n_real)
+            ims = np.zeros((batch_size, Hb, Wb, 3), np.float32)
+            vhw = np.zeros((batch_size, 2), np.int32)
+            pos = np.zeros((batch_size, 1 + hp * wp, pos_embed.shape[-1]),
+                           np.float32)
+            for bi, i in enumerate(padded_chunk):
+                image, _, _, _ = dataset[i]
+                H, W = shapes[i]
+                ims[bi, :H, :W] = normalize_image(image[:H, :W])
+                vhw[bi] = (H, W)
+                pos[bi] = _pos_for_bucket(pos_embed, H // P, W // P, hp, wp,
+                                          pos_cache)
+            preds = np.asarray(eval_step_bucketed(
+                state, jnp.asarray(ims), jnp.asarray(vhw), jnp.asarray(pos),
+                patch_size=P))
+            for bi, i in enumerate(chunk[:n_real]):
+                H, W = shapes[i]
+                yield i, preds[bi, :H, :W]
+
+
 def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSES,
-                   ignore_index: int = 255, max_images: Optional[int] = None):
+                   ignore_index: int = 255, max_images: Optional[int] = None,
+                   bucketed: bool = False, batch_size: int = 8,
+                   patch_size: int = 16):
     """Flat-pixel mIoU of model predictions vs GT, assuming the matching was
     already applied as the dataset label_map (reference: train.py:278-348,
-    batch-size-1 semantics)."""
-    preds_all, gts_all = [], []
+    batch-size-1 semantics).
+
+    bucketed=True batches the val set through <= 2 padded shape buckets
+    (O(buckets) compiled programs instead of one per image shape; pixel-exact
+    vs the per-image path — see `bucketed_predictions`)."""
+    P = patch_size
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
-    for i in range(n):
-        image, _, target, _ = dataset[i]
-        if target is None:
-            continue
-        x = normalize_image(image)[None]
-        # Pad to a multiple of the patch size for the ViT.
-        P = 16
-        H, W = x.shape[1:3]
-        Hp, Wp = (H // P) * P, (W // P) * P
-        pred = np.asarray(eval_step(state, jnp.asarray(x[:, :Hp, :Wp])))[0]
+    preds_all, gts_all = [], []
+
+    def accumulate(i, pred):
+        _, _, target, _ = dataset[i]
+        Hp, Wp = pred.shape
         target_c = target[:Hp, :Wp]
         valid = target_c != ignore_index
         preds_all.append(pred[valid])
         gts_all.append(target_c[valid])
+
+    if bucketed:
+        indices = [i for i in range(n) if dataset[i][2] is not None]
+        for i, pred in bucketed_predictions(state, dataset, indices,
+                                            patch_size=P, batch_size=batch_size):
+            accumulate(i, pred)
+    else:
+        for i in range(n):
+            image, _, target, _ = dataset[i]
+            if target is None:
+                continue
+            x = normalize_image(image)[None]
+            # Crop to a multiple of the patch size for the ViT.
+            H, W = x.shape[1:3]
+            Hp, Wp = (H // P) * P, (W // P) * P
+            pred = np.asarray(eval_step(state, jnp.asarray(x[:, :Hp, :Wp])))[0]
+            accumulate(i, pred)
     flat_preds = np.concatenate(preds_all)
     flat_targets = np.concatenate(gts_all)
     jac, miou = M.per_class_jaccard(jnp.asarray(flat_preds),

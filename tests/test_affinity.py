@@ -58,16 +58,65 @@ def test_knn_affinity_mask_padding(rng):
     assert W[mask][:, mask].sum() > 0
 
 
+def _pymatting_rw_oracle(image, sigma=0.033, r=1):
+    """Direct numpy port of pymatting's `_rw_laplacian` inner loop
+    (pymatting/laplacian/rw_laplacian.py — the function the reference calls via
+    extract_utils.py:191-204): clamped window neighbors, Gaussian of squared
+    color distance, CSR duplicate-summing."""
+    h, w = image.shape[:2]
+    n = h * w
+    W = np.zeros((n, n), np.float64)
+    for y in range(h):
+        for x in range(w):
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    x2 = min(max(x + dx, 0), w - 1)
+                    y2 = min(max(y + dy, 0), h - 1)
+                    i = x + y * w
+                    j = x2 + y2 * w
+                    zi = image[y, x].astype(np.float64)
+                    zj = image[y2, x2].astype(np.float64)
+                    W[i, j] += np.exp(-np.sum((zi - zj) ** 2) / (2 * sigma**2))
+    return W
+
+
+def test_rw_affinity_matches_pymatting_oracle(rng):
+    h, w = 7, 5
+    image = rng.random((h, w, 3)).astype(np.float32)
+    for sigma, radius in [(0.033, 1), (0.1, 1), (0.05, 2)]:
+        W = np.asarray(rw_affinity(jnp.asarray(image), sigma=sigma, radius=radius))
+        W_ref = _pymatting_rw_oracle(image, sigma=sigma, r=radius)
+        np.testing.assert_allclose(W, W_ref, atol=1e-5)
+
+
 def test_rw_affinity_basic(rng):
     h, w = 7, 5
     image = rng.random((h, w, 3)).astype(np.float32)
     W = np.asarray(rw_affinity(jnp.asarray(image), sigma=0.1, radius=1))
     assert W.shape == (h * w, h * w)
     assert np.allclose(W, W.T, atol=1e-6)
-    # Self-weight: exp(0) = 1 on the diagonal.
-    np.testing.assert_allclose(np.diag(W), 1.0, atol=1e-6)
+    # Interior self-weight: exactly one (0,0) offset => exp(0) = 1.
+    assert abs(W[1 * w + 1, 1 * w + 1] - 1.0) < 1e-6
+    # Corner pixel: offsets (-1,-1),(-1,0),(0,-1),(0,0) all clamp to self => diag 4.
+    assert abs(W[0, 0] - 4.0) < 1e-6
     # Non-window entries are zero: pixel (0,0) vs pixel (3,3).
     assert W[0, 3 * w + 3] == 0.0
+
+
+def test_rw_affinity_mask_padding(rng):
+    """Bucketed rw affinity must equal pymatting on the unpadded image, embedded."""
+    vh, vw, h, w = 5, 4, 7, 6
+    image = rng.random((h, w, 3)).astype(np.float32)
+    mask2d = np.zeros((h, w), bool)
+    mask2d[:vh, :vw] = True
+    W = np.asarray(rw_affinity(jnp.asarray(image), sigma=0.05, radius=1,
+                               mask=jnp.asarray(mask2d.reshape(-1))))
+    W_ref_small = _pymatting_rw_oracle(image[:vh, :vw], sigma=0.05, r=1)
+    # Embed the small oracle into bucket coordinates.
+    flat_mask = mask2d.reshape(-1)
+    assert np.abs(W[~flat_mask]).max() == 0.0
+    assert np.abs(W[:, ~flat_mask]).max() == 0.0
+    np.testing.assert_allclose(W[np.ix_(flat_mask, flat_mask)], W_ref_small, atol=1e-5)
 
 
 def test_degree_vector_clamp():

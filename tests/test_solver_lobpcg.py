@@ -64,6 +64,42 @@ def test_lobpcg_k20_default_config(rng):
         assert cos > 0.99, f"ev{k}: cos={cos}"
 
 
+@pytest.mark.parametrize("h,w", [(30, 30), (32, 64), (64, 64)])
+def test_lobpcg_adaptive_iters_quality_sweep(h, w):
+    """Documented quality floor for the auto iteration rule (60 iters for
+    N <= 2048, 100 above): leading-K eigenvector cosine vs exact eigh >= 0.999
+    across N in {900, 2048, 4096} on image-structured graphs."""
+    K = 5
+    feats = _smooth_features(np.random.default_rng(h * w), h=h, w=w, d=64)
+    W = np.asarray(feature_affinity(jnp.asarray(feats)))
+    ev, ex = laplacian_eigs(jnp.asarray(W), K, solver="eigh", apply_sign_fix=False)
+    lv, lx = laplacian_eigs(jnp.asarray(W), K, solver="lobpcg",
+                            apply_sign_fix=False)  # lobpcg_iters=None -> auto
+    ev, ex, lv, lx = (np.asarray(a) for a in (ev, ex, lv, lx))
+    np.testing.assert_allclose(lv, ev, atol=5e-3, rtol=5e-2)
+    for k in range(K):
+        cos = abs(lx[k] @ ex[k]) / (np.linalg.norm(lx[k]) * np.linalg.norm(ex[k]))
+        assert cos > 0.999, f"N={h*w} ev{k}: cos={cos}"
+
+
+def test_lobpcg_tol_early_exit_quality(rng):
+    """Residual-based stopping: a loose tol must still deliver the 0.99 parity
+    floor on an easy graph (and, inside lobpcg_standard's while_loop, exits
+    early instead of burning the full iteration budget)."""
+    K = 5
+    feats = _smooth_features(np.random.default_rng(3))
+    W = np.asarray(feature_affinity(jnp.asarray(feats)))
+    ev, ex = laplacian_eigs(jnp.asarray(W), K, solver="eigh", apply_sign_fix=False)
+    lv, lx = laplacian_eigs(jnp.asarray(W), K, solver="lobpcg",
+                            lobpcg_iters=200, lobpcg_tol=1e-7,
+                            apply_sign_fix=False)
+    ev, ex, lv, lx = (np.asarray(a) for a in (ev, ex, lv, lx))
+    np.testing.assert_allclose(lv, ev, atol=5e-3, rtol=5e-2)
+    for k in range(K):
+        cos = abs(lx[k] @ ex[k]) / (np.linalg.norm(lx[k]) * np.linalg.norm(ex[k]))
+        assert cos > 0.99, f"ev{k}: cos={cos}"
+
+
 def test_auto_solver_small_graph_uses_eigh(rng):
     """Small graphs must stay on the exact path (identical to solver='eigh')."""
     feats = rng.standard_normal((100, 16)).astype(np.float32)

@@ -152,6 +152,66 @@ def test_restore_ema_presence_mismatch(voc_root, tmp_path):
     assert int(restored2.step) == int(state_ema.step)
 
 
+@pytest.fixture(scope="module")
+def voc_root_multishape(tmp_path_factory):
+    """VOC-like fixture with VARYING image shapes (all multiples of 16 so the
+    per-image path's floor-crop is a no-op and parity can be exact)."""
+    root = tmp_path_factory.mktemp("voc_shapes")
+    (root / "JPEGImages").mkdir()
+    (root / "SegmentationClass").mkdir()
+    (root / "ImageSets" / "Segmentation").mkdir(parents=True)
+    segs = root / "pseudolabels"
+    segs.mkdir()
+    rng = np.random.default_rng(3)
+    shapes = [(64, 96), (96, 64), (80, 80), (64, 64), (64, 96), (96, 80)]
+    names = [f"s{i:02d}" for i in range(len(shapes))]
+    for n, (h, w) in zip(names, shapes):
+        img = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        img[:, : w // 2] //= 3  # structure: dark left half
+        Image.fromarray(img).save(root / "JPEGImages" / f"{n}.jpg")
+        gt = np.zeros((h, w), np.uint8)
+        gt[:, w // 2:] = 1
+        Image.fromarray(gt).save(root / "SegmentationClass" / f"{n}.png")
+        Image.fromarray(gt[::16, ::16]).save(segs / f"{n}.png")
+    (root / "ImageSets" / "Segmentation" / "val.txt").write_text("")
+    return root, segs
+
+
+def test_bucketed_eval_matches_per_image(voc_root_multishape):
+    """Bucket-padded evaluation (<= 2 compiled programs for 4 distinct image
+    shapes) must be PIXEL-EXACT vs the per-image path: per-image pos-embed
+    interpolation, masked attention, mask-threaded head convs and
+    edge-replicated logits make padding provably inert."""
+    import jax.numpy as jnp
+    root, segs = voc_root_multishape
+    ds = SS.VOCSegmentationWithPseudolabels(str(root), "all", str(segs))
+    cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                         batch_size=2, unfrozen_backbone_layers=0)
+    state = SS.create_train_state(cfg, SS.build_model(cfg))
+
+    # Per-image reference predictions (native resolution, one compile each).
+    ref = {}
+    for i in range(len(ds)):
+        image, _, _, _ = ds[i]
+        x = SS.normalize_image(image)[None]
+        ref[i] = np.asarray(SS.eval_step(state, jnp.asarray(x)))[0]
+
+    got = dict(SS.bucketed_predictions(state, ds, list(range(len(ds))),
+                                       patch_size=8, batch_size=4))
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i].shape == ref[i].shape
+        agree = np.mean(got[i] == ref[i])
+        np.testing.assert_array_equal(got[i], ref[i],
+                                      err_msg=f"image {i}: {agree:.4f} agree")
+
+    # And the mIoU paths agree exactly.
+    m_ref, _ = SS.evaluate_model(state, ds, num_classes=2, patch_size=8)
+    m_bkt, _ = SS.evaluate_model(state, ds, num_classes=2, patch_size=8,
+                                 bucketed=True, batch_size=4)
+    assert abs(m_ref - m_bkt) < 1e-9, (m_ref, m_bkt)
+
+
 def test_bf16_precision_knob(rng):
     """precision='bf16' trains with a bf16 backbone and stays loss-close to fp32."""
     import jax
