@@ -22,6 +22,8 @@ from pathlib import Path
 
 import numpy as np
 
+# Batch sweep on v5e with streamed dispatch + end fetch: 64 -> ~550 img/s,
+# 128 -> ~310 (HBM pressure from 128 stacked 900-node graphs). 64 is the knee.
 BATCH = int(os.environ.get("DSS_BENCH_BATCH", "64"))
 H = W = 480
 K = 5

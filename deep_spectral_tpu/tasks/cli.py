@@ -153,7 +153,8 @@ def _semantic_train(argv):
         crop_size=cfg.data.transform.crop_size,
         resize_size=cfg.data.transform.resize_size,
         batch_size=cfg.data.loader.batch_size, seed=cfg.seed,
-        precision=cfg.get("precision", "fp32"))
+        precision=cfg.get("precision", "fp32"),
+        num_workers=int(cfg.data.loader.get("num_workers", 4)))
     state, best = SS.train(tcfg, train_ds, val_ds,
                            ckpt_dir=cfg.checkpoint.dir,
                            eval_every=cfg.eval_every,

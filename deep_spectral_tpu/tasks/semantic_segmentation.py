@@ -43,8 +43,17 @@ VOC_NUM_CLASSES = 21  # 20 + background (reference: model/__init__.py:11-13)
 
 def upsample_pseudolabel(segmap: np.ndarray, image_hw: tuple[int, int]) -> np.ndarray:
     """Nearest-upsample a patch-level pseudolabel to image resolution, handling
-    the x8/x16/x32 grids (reference: dataset/voc.py:12-19)."""
-    return np.array(resize_nearest(jnp.asarray(segmap.astype(np.int32)), image_hw))
+    the x8/x16/x32 grids (reference: dataset/voc.py:12-19).
+
+    Pure numpy with cv2 INTER_NEAREST index semantics (src = floor(dst*in/out),
+    identical to ops.resize.resize_nearest) — this runs inside dataset
+    __getitem__ on the producer threads, where a JAX dispatch would cost a
+    remote-device round-trip (~100 ms) PER IMAGE on a tunneled TPU."""
+    H_in, W_in = segmap.shape
+    H_out, W_out = image_hw
+    iy = np.minimum((np.arange(H_out) * (H_in / H_out)).astype(np.int64), H_in - 1)
+    ix = np.minimum((np.arange(W_out) * (W_in / W_out)).astype(np.int64), W_in - 1)
+    return segmap.astype(np.int32)[iy[:, None], ix[None, :]]
 
 
 class VOCSegmentationWithPseudolabels:
@@ -331,6 +340,11 @@ class TrainConfig:
     crop_size: int = 224
     resize_size: int = 256
     batch_size: int = 16
+    # Host-side augmentation workers feeding the device (the reference's
+    # DataLoader num_workers=8, train.py via config loader_batch_size). With 1
+    # worker the producer thread bottlenecks the TPU at realistic batch sizes
+    # (PIL decode + augment ~ tens of ms per image, single-threaded).
+    num_workers: int = 4
     seed: int = 1
     remat: bool = False  # rematerialize backbone activations (big batches)
     # 'fp32' or 'bf16': bf16 backbone/head compute with fp32 params, norms and
@@ -711,32 +725,46 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
     best_miou = -1.0
     writer = MetricWriter(metrics_path) if metrics_path else None
 
-    # Prefetching batch producer: dataset read + augmentation run in a worker
-    # thread two steps ahead of the device (the reference's DataLoader
-    # num_workers=8 analogue).
+    # Prefetching batch producers: dataset read + augmentation run in
+    # cfg.num_workers threads ahead of the device (the reference's DataLoader
+    # num_workers=8 analogue; PIL decode/resize release the GIL, so threads
+    # overlap). Each worker shuffles with its own seeded rng; batch order is
+    # deterministic per worker but interleaving across workers is not (same
+    # property as a multi-worker DataLoader under prefetching).
     import queue
     import threading
-    batch_q: "queue.Queue" = queue.Queue(maxsize=2)
+    n_workers = max(int(getattr(cfg, "num_workers", 1)), 1)
+    batch_q: "queue.Queue" = queue.Queue(maxsize=max(2, n_workers))
+    stop = threading.Event()
 
-    def producer():
-        order = rng.permutation(len(dataset_train))
+    def producer(wid: int):
+        rng_w = np.random.default_rng(cfg.seed + 7919 * wid)
+        order = rng_w.permutation(len(dataset_train))
         cursor = 0
-        for _ in range(max(steps - start_step, 0)):
+        while not stop.is_set():
             ims, segs = [], []
             for _ in range(cfg.batch_size):
                 if cursor >= len(order):
-                    order = rng.permutation(len(dataset_train))
+                    order = rng_w.permutation(len(dataset_train))
                     cursor = 0
                 image, seg, _, _ = dataset_train[int(order[cursor])]
                 cursor += 1
-                im, sg = train_augment(rng, image, seg, cfg.resize_size,
+                im, sg = train_augment(rng_w, image, seg, cfg.resize_size,
                                        cfg.crop_size)
                 ims.append(im)
                 segs.append(sg)
-            batch_q.put((np.stack(ims), np.stack(segs)))
+            batch = (np.stack(ims), np.stack(segs))
+            while not stop.is_set():
+                try:
+                    batch_q.put(batch, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
 
-    thread = threading.Thread(target=producer, daemon=True)
-    thread.start()
+    threads = [threading.Thread(target=producer, args=(w,), daemon=True)
+               for w in range(n_workers)]
+    for t in threads:
+        t.start()
 
     for step in range(start_step, steps):
         ims_np, segs_np = batch_q.get()
@@ -764,7 +792,9 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
                     save_checkpoint(ckpt_dir, state, step + 1, keep_best=True)
         if ckpt_dir and (step + 1) % max(eval_every, 1000) == 0:
             save_checkpoint(ckpt_dir, state, step + 1)
-    thread.join()
+    stop.set()
+    for t in threads:
+        t.join(timeout=2.0)
     if writer is not None:
         writer.close()
     return state, best_miou

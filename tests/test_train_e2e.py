@@ -229,3 +229,21 @@ def test_bf16_precision_knob(rng):
         losses[prec] = float(logs["loss"])
     assert np.isfinite(losses["bf16"])
     assert abs(losses["bf16"] - losses["fp32"]) < 0.05 * max(abs(losses["fp32"]), 1.0)
+
+
+def test_upsample_pseudolabel_matches_resize_nearest(rng):
+    """The producer-thread numpy upsample must match ops.resize.resize_nearest
+    (cv2 INTER_NEAREST index semantics) exactly — it replaced a per-image JAX
+    dispatch that cost a remote round-trip on tunneled TPUs."""
+    import jax.numpy as jnp
+    from deep_spectral_tpu.ops.resize import resize_nearest
+    for (h_in, w_in), (h_out, w_out) in [((20, 30), (320, 480)),
+                                         ((24, 32), (384, 512)),
+                                         ((7, 9), (100, 130)),
+                                         ((16, 16), (16, 16)),
+                                         ((50, 50), (30, 20))]:
+        seg = rng.integers(0, 21, (h_in, w_in)).astype(np.uint8)
+        got = SS.upsample_pseudolabel(seg, (h_out, w_out))
+        ref = np.array(resize_nearest(jnp.asarray(seg.astype(np.int32)),
+                                      (h_out, w_out)))
+        np.testing.assert_array_equal(got, ref, err_msg=f"{(h_in, w_in)}->{(h_out, w_out)}")
