@@ -10,6 +10,23 @@ blocks with an online softmax so scores never leave VMEM, and apply the
 framework's token-validity mask (bucketed batching) as a KV-side mask inside
 the kernel — numerically identical to the masked-softmax reference path.
 
+Layouts. Two kernel families:
+
+  * "bhtd" — classic (B, H, T, hd) per-head kernels, grid (B, H, Tq, Tkv).
+  * "bthd" — a PACKED kernel that reads q/k/v straight from the fused qkv
+    projection's native (B, T, H, hd) layout (viewed as (B, T, H*hd)): grid
+    (B, Tq, Tkv), heads unrolled inside the kernel with per-head online-
+    softmax scratch. Mosaic requires a block's last two dims to be 8/128-
+    aligned or full, which forbids per-head blocking of a (B, T, H, hd)
+    array — packing the whole head dim into lanes satisfies it, and deletes
+    the (B,T,H,hd)->(B,H,T,hd) transposes around every attention call
+    (profiled at ~0.9 ms/layer of pure HBM traffic at b64/T=1024 on a v5e,
+    ~16% of the whole ViT forward).
+
+The differentiable wrapper uses the packed kernel for the primal "bthd" call;
+under autodiff it transposes to "bhtd" for the residual-saving forward and the
+two backward kernels (training pays the transposes, inference does not).
+
 Backward follows the standard flash scheme: the forward saves the per-row
 log-sum-exp; the backward recomputes probability tiles from (q, k, lse) and
 runs two kernels with transposed iteration orders — dKV (KV tiles outer,
@@ -32,9 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 LANES = 128
+# Default (block_q, block_k); VisionTransformer pads its token sequence to a
+# multiple of this once up front so the per-layer kernels never pad/slice.
+DEFAULT_BLOCK = 1024
+# The packed (bthd) kernel holds per-head online-softmax scratch plus one
+# score tile in VMEM; (512, 1024) is the largest default that fits the 16 MB
+# scoped-VMEM budget at 6 heads x hd 64.
+PACKED_BLOCK_Q = 512
+PACKED_BLOCK_K = 1024
 
 
-# ------------------------------------------------------------------- forward
+# ------------------------------------------------------------- bhtd kernels
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
                   m_scratch, l_scratch, acc_scratch,
@@ -83,8 +108,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         lse = m_scratch[...] + jnp.log(jnp.maximum(l_scratch[...], 1e-30))
         lse_ref[0, 0] = lse.astype(lse_ref.dtype)
 
-
-# ------------------------------------------------------------------ backward
 
 def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
                           di_ref, dk_ref, dv_ref, dk_scratch, dv_scratch,
@@ -165,17 +188,112 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dq_ref[0, 0] = dq_scratch[...].astype(dq_ref.dtype)
 
 
-def _einsum_attention(q, k, v, kv_mask):
-    """Reference masked attention in plain jnp (differentiable); the numerical
-    oracle for the kernels in tests."""
-    hd = q.shape[-1]
-    s = jnp.einsum("bhtd,bhsd->bhts", q, k,
-                   preferred_element_type=jnp.float32) / math.sqrt(hd)
-    if kv_mask is not None:
-        s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
-    p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhts,bhsd->bhtd", p, v,
-                      preferred_element_type=jnp.float32).astype(q.dtype)
+# ------------------------------------------------------------ packed kernel
+
+def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
+                         m_scratch, l_scratch, acc_scratch,
+                         *, sm_scale: float, num_kv_blocks: int,
+                         num_heads: int, head_dim: int):
+    """One (batch, q-block, kv-block) cell covering ALL heads: q/k/v blocks are
+    (block, H*hd) lane-packed; heads unroll as static lane slices with
+    per-head (m, l, acc) scratch rows."""
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scratch[...] = jnp.full(m_scratch.shape, -jnp.inf, jnp.float32)
+        l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
+        acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
+
+    kv_mask = mask_ref[0]
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * sm_scale
+        s = jnp.where(kv_mask, s, MASK_VALUE)
+
+        m_prev = m_scratch[h]
+        l_prev = l_scratch[h]
+        m_curr = jnp.max(s, axis=1)[:, None]
+        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])
+        p = jnp.where(kv_mask, p, 0.0)
+        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+        m_scratch[h] = m_next
+        l_scratch[h] = l_next
+
+        o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
+        acc_scratch[h] = acc_scratch[h] * alpha[:, :1] + o_curr
+
+    @pl.when(kv_idx == num_kv_blocks - 1)
+    def _store():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            l_final = l_scratch[h][:, :1]
+            l_inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+            o_ref[0, :, sl] = (acc_scratch[h] * l_inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k",
+                                             "interpret"))
+def _flash_forward_packed(q, k, v, kv_mask, *, num_heads,
+                          block_q=PACKED_BLOCK_Q, block_k=PACKED_BLOCK_K,
+                          interpret=False):
+    """q/k/v: (B, T, H, hd). Returns (B, T, H, hd). No transposes, no
+    residuals — the inference fast path."""
+    B, T, H, hd = q.shape
+    D = H * hd
+    sm_scale = 1.0 / math.sqrt(hd)
+    q2, k2, v2 = (x.reshape(B, T, D) for x in (q, k, v))
+    blk = math.lcm(block_q, block_k)
+    Tp = -(-T // blk) * blk
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, T), dtype=bool)
+    if Tp != T:
+        pad = Tp - T
+        q2 = jnp.pad(q2, ((0, 0), (0, pad), (0, 0)))
+        k2 = jnp.pad(k2, ((0, 0), (0, pad), (0, 0)))
+        v2 = jnp.pad(v2, ((0, 0), (0, pad), (0, 0)))
+        kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad)))
+    mp = kv_mask[:, None, :]
+    block_q = min(block_q, Tp)
+    block_k = min(block_k, Tp)
+    num_q_blocks = Tp // block_q
+    num_kv_blocks = Tp // block_k
+
+    kernel = functools.partial(_flash_kernel_packed, sm_scale=sm_scale,
+                               num_kv_blocks=num_kv_blocks, num_heads=H,
+                               head_dim=hd)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, num_q_blocks, num_kv_blocks),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, block_q, LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, LANES), jnp.float32),
+            pltpu.VMEM((H, block_q, hd), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(q2, k2, v2, mp)
+    return out[:, :T].reshape(B, T, H, hd)
 
 
 # ----------------------------------------------------------------- dispatch
@@ -200,8 +318,9 @@ def _pad_inputs(q, k, v, kv_mask, block_q, block_k):
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret",
                                              "save_residuals"))
-def _flash_forward(q, k, v, kv_mask=None, *, block_q=512, block_k=1024,
-                   interpret=False, save_residuals=False):
+def _flash_forward(q, k, v, kv_mask=None, *, block_q=DEFAULT_BLOCK,
+                   block_k=DEFAULT_BLOCK, interpret=False,
+                   save_residuals=False):
     B, H, T, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
     qp, kp, vp, mp, Tp = _pad_inputs(q, k, v, kv_mask, block_q, block_k)
@@ -246,26 +365,67 @@ def _flash_forward(q, k, v, kv_mask=None, *, block_q=512, block_k=1024,
     return out[:, :, :T]
 
 
-def flash_attention(q, k, v, kv_mask=None, *, block_q=512, block_k=1024,
-                    interpret=False):
+def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
+                    interpret=False, layout="bhtd"):
     """softmax(q k^T / sqrt(hd) + mask) v without materializing scores.
 
-    T is padded to the block size internally; padded KV positions are masked,
-    padded Q rows are dropped from the output.
+    q/k/v are (B, H, T, hd) for layout="bhtd" or (B, T, H, hd) for "bthd"
+    (the packed transpose-free kernel; see module docstring). T is padded to
+    the block size internally; padded KV positions are masked, padded Q rows
+    are dropped from the output.
 
-    Default blocks (512, 1024) come from an on-hardware sweep at the ViT-S/8
-    workload (T=3601, hd=64, bf16, one v5e): 39-41 ms/fwd at B=8 vs 46 ms for
-    (256, 256); (1024, 1024)/(512, 2048) tie within noise
-    (scripts/sweep_flash_blocks.py). Blocks are clamped to the padded T for
-    short sequences, so the larger defaults cost nothing there.
+    Default blocks (1024, 1024) come from an on-hardware DEVICE-TIME sweep at
+    the ViT-S/8 workload (T=3601, hd=64, bf16, one v5e), timed as a jit'd
+    fori_loop with a data dependency so the remote tunnel's dispatch+fetch
+    overhead cancels (scripts/bench_device_time.py): 2.96 ms/call = 53.8
+    TFLOP/s (~54% of the hd=64-limited MXU ceiling) vs 3.42 ms for (512,
+    1024), 5.33 ms for (512, 512) and 10.4 ms for the old (256, 256).
+    (1024, 2048)/(2048, 1024) exceed the 16 MB scoped-VMEM limit. Blocks are
+    clamped to the padded T for short sequences, so the larger defaults cost
+    nothing there. The packed kernel defaults to (512, 1024) — its per-head
+    scratch uses part of the VMEM budget.
     """
-    return _flash_forward(q, k, v, kv_mask, block_q=block_q, block_k=block_k,
+    if layout == "bthd":
+        B, T, H, hd = q.shape
+        bq = block_q or PACKED_BLOCK_Q
+        bk = block_k or PACKED_BLOCK_K
+        # Rough scoped-VMEM estimate: double-buffered q/k/v/out blocks +
+        # per-head scratch + one fp32 score tile (+ its bf16 copy). Halve
+        # block_q until it fits the ~16 MB budget with headroom — e.g. ViT-B
+        # (H=12, D=768) needs block_q 256.
+        D = H * hd
+        while bq > 128:
+            est = (2 * 2 * (2 * bq * D + 2 * bk * D)        # q+out, k+v, x2 buf
+                   + H * bq * (2 * LANES + hd) * 4          # m/l/acc scratch
+                   + bq * bk * 6)                           # s fp32 + p bf16
+            if est <= 12 * 2 ** 20:
+                break
+            bq //= 2
+        return _flash_forward_packed(
+            q, k, v, kv_mask, num_heads=H, block_q=bq, block_k=bk,
+            interpret=interpret)
+    return _flash_forward(q, k, v, kv_mask,
+                          block_q=block_q or DEFAULT_BLOCK,
+                          block_k=block_k or DEFAULT_BLOCK,
                           interpret=interpret)
 
 
+def _einsum_attention(q, k, v, kv_mask):
+    """Reference masked attention in plain jnp (differentiable); the numerical
+    oracle for the kernels in tests. (B, H, T, hd) layout."""
+    hd = q.shape[-1]
+    s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                   preferred_element_type=jnp.float32) / math.sqrt(hd)
+    if kv_mask is not None:
+        s = jnp.where(kv_mask[:, None, None, :], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhts,bhsd->bhtd", p, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=512, block_k=1024,
-                    interpret=False):
+def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=DEFAULT_BLOCK,
+                    block_k=DEFAULT_BLOCK, interpret=False):
     B, H, T, hd = q.shape
     sm_scale = 1.0 / math.sqrt(hd)
     qp, kp, vp, mp, Tp = _pad_inputs(q, k, v, kv_mask, block_q, block_k)
@@ -341,25 +501,39 @@ def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=512, block_k=1024,
     return dq[:, :, :T], dk[:, :, :T], dv[:, :, :T]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def flash_attention_trainable(q, k, v, kv_mask, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_attention_trainable(q, k, v, kv_mask, interpret=False,
+                              layout="bhtd"):
     """Differentiable flash attention: flash kernels on both passes. The
-    forward saves the per-row log-sum-exp; dK/dV and dQ run as separate Pallas
-    kernels with transposed iteration orders — no (T, T) tensor is ever
-    materialized in either direction."""
-    return flash_attention(q, k, v, kv_mask, interpret=interpret)
+    primal "bthd" call runs the packed transpose-free kernel; under autodiff
+    both layouts use the per-head kernels (the forward saves the per-row
+    log-sum-exp; dK/dV and dQ run as separate Pallas kernels with transposed
+    iteration orders) — no (T, T) tensor is ever materialized either way."""
+    return flash_attention(q, k, v, kv_mask, interpret=interpret,
+                           layout=layout)
 
 
-def _fat_fwd(q, k, v, kv_mask, interpret):
+def _t(x):
+    return x.transpose(0, 2, 1, 3)
+
+
+def _fat_fwd(q, k, v, kv_mask, interpret, layout):
+    if layout == "bthd":
+        q, k, v = _t(q), _t(k), _t(v)
     out, lse = _flash_forward(q, k, v, kv_mask, interpret=interpret,
                               save_residuals=True)
-    return out, (q, k, v, kv_mask, out, lse)
+    res = (q, k, v, kv_mask, out, lse)
+    return (_t(out) if layout == "bthd" else out), res
 
 
-def _fat_bwd(interpret, residuals, g):
+def _fat_bwd(interpret, layout, residuals, g):
     q, k, v, kv_mask, o, lse = residuals
+    if layout == "bthd":
+        g = _t(g)
     dq, dk, dv = _flash_backward(q, k, v, kv_mask, o, lse, g,
                                  interpret=interpret)
+    if layout == "bthd":
+        dq, dk, dv = _t(dq), _t(dk), _t(dv)
     return dq, dk, dv, None
 
 

@@ -91,19 +91,25 @@ class Attention(nn.Module):
 
         impl = self.attention_impl
         if impl == "auto":
-            # Flash pays off once the materialized (T, T) scores stop fitting
-            # comfortably; below ~2k tokens XLA's fused einsum attention is
-            # fast and compiles much quicker.
+            # Flash wins on TPU well below the fits-in-HBM boundary: at T=901
+            # (vits16 @480px, b64) the whole-model forward measures 903 img/s
+            # flash vs 863 einsum on a v5e (device-time harness,
+            # scripts/bench_device_time.py) — the materialized path pays VPU
+            # softmax + (T, T) HBM traffic. Below ~768 tokens blocks clamp to
+            # the padded T and the einsum path compiles faster for no
+            # measured loss, so keep it there.
             on_tpu = jax.default_backend() == "tpu"
-            impl = "flash" if (on_tpu and T >= 2048 and not want_attn) else "einsum"
+            impl = "flash" if (on_tpu and T >= 768 and not want_attn) else "einsum"
 
         if impl == "flash" and not want_attn:
             from .flash_attention import flash_attention_trainable
+            # 'bthd' layout: the kernel gathers per-head blocks straight from
+            # the qkv projection's (B, T, H, hd) output via its BlockSpec
+            # index maps — no (B,H,T,hd) transposes in either direction
+            # (profiled at ~0.9 ms/layer of pure HBM traffic at b64/T=1024).
             out = flash_attention_trainable(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), token_mask,
-                jax.default_backend() != "tpu")
-            out = out.transpose(0, 2, 1, 3).astype(self.compute_dtype)
+                q, k, v, token_mask, jax.default_backend() != "tpu", "bthd")
+            out = out.astype(self.compute_dtype)
             attn = None
         else:
             scale = 1.0 / math.sqrt(head_dim)
@@ -225,6 +231,31 @@ class VisionTransformer(nn.Module):
             cls_mask = jnp.ones((B, 1), dtype=bool)
             token_mask = jnp.concatenate([cls_mask, token_mask], axis=1)
 
+        # Pad the token sequence ONCE to the flash kernel's block multiple and
+        # run every block at the padded length. Without this, each of the 12
+        # blocks pads q/k/v going into the kernel and slices the output coming
+        # out — profiled at ~24 ms of pure pad/slice/copy HBM traffic per
+        # b64@T=901 forward on a v5e (~34% of the whole call) vs ~+14% extra
+        # row count through LN/matmuls, a large net win. Padded tokens are
+        # masked out of attention (kv_mask) and sliced off at the end; all
+        # other ops are row-wise, so padding stays inert (pad-invariance
+        # tests enforce this).
+        T_valid = 1 + N
+        padded_to = None
+        if not want_attn:
+            from .flash_attention import DEFAULT_BLOCK
+            impl = self.attention_impl
+            will_flash = impl == "flash" or (
+                impl == "auto" and jax.default_backend() == "tpu"
+                and T_valid >= 768)
+            Tp = -(-T_valid // DEFAULT_BLOCK) * DEFAULT_BLOCK
+            if will_flash and Tp != T_valid:
+                tokens = jnp.pad(tokens, ((0, 0), (0, Tp - T_valid), (0, 0)))
+                if token_mask is None:
+                    token_mask = jnp.ones((B, T_valid), dtype=bool)
+                token_mask = jnp.pad(token_mask, ((0, 0), (0, Tp - T_valid)))
+                padded_to = Tp
+
         qkv_block = qkv_block % cfg.depth
         final_norm = nn.LayerNorm(epsilon=1e-6, name="norm", dtype=jnp.float32)
 
@@ -244,6 +275,12 @@ class VisionTransformer(nn.Module):
                 attn_out = attn
             if cfg.depth - i <= n_intermediates:
                 intermediates.append(final_norm(tokens))
+
+        if padded_to is not None:
+            intermediates = [t[:, :T_valid] for t in intermediates]
+            tokens = tokens[:, :T_valid]
+            if qkv_out is not None:
+                qkv_out = {k2: v2[:, :T_valid] for k2, v2 in qkv_out.items()}
 
         x_norm = intermediates[-1] if intermediates else final_norm(tokens)
         out = {

@@ -96,6 +96,15 @@ def laplacian_eigs(
             count). None uses float32 machine eps, i.e. "stop only when
             numerically converged".
 
+    Block-size note (measured on v5e, scripts/sweep_lobpcg_block.py,
+    device-time harness, b64 N=900 K=5): a LARGER block is NOT faster on TPU
+    even though the matvec has idle MXU lanes — lobpcg_standard's per-iteration
+    orthonormalization/Rayleigh-Ritz work scales with the basis size and
+    dominates: block 13 = 47 ms/batch vs block 40 = 187 ms at identical
+    >=0.999999 subspace quality. The iteration cap is also not binding on
+    image-structured graphs (tol early-exit converges in <30 iters; 30 vs 60
+    cap measure identically). Keep the block at K + 8.
+
     Returns (eigenvalues (K,), eigenvectors (K, N)) sorted ascending, eigenvectors
     row-major like the reference's saved dict (extract/extract.py:235, :243),
     with ARPACK's M-normalization (x^T D x = 1) when lapnorm.

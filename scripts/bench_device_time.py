@@ -72,16 +72,21 @@ def bench_flash(blocks=((256, 256), (512, 512), (512, 1024), (1024, 1024))):
             o = flash_attention(c, k, v, mask, block_q=bq, block_k=bk)
             return o.astype(jnp.bfloat16)
 
-        dt = timed_loop(step, q)
+        try:
+            dt = timed_loop(step, q)
+        except Exception as e:  # noqa: BLE001 — VMEM OOM at big blocks
+            print(f"flash fwd ({bq},{bk}): FAILED {type(e).__name__}: "
+                  f"{str(e)[:100]}")
+            continue
         print(f"flash fwd ({bq},{bk}): {dt*1e3:8.2f} ms/call "
               f"{flops/dt/1e12:6.1f} TFLOP/s "
               f"({flops/dt/197e12*100:.1f}% of v5e bf16 peak)")
 
 
-def bench_vit(name="dino_vits8", batch=8, size=480):
+def bench_vit(name="dino_vits8", batch=8, size=480, precision="bf16"):
     from deep_spectral_tpu.models.convert import load_params
     from deep_spectral_tpu.models.vit import extract_patch_keys
-    model, params = load_params(name)
+    model, params = load_params(name, precision=precision)
     P = model.cfg.patch_size
     T = (size // P) ** 2
     rng = np.random.default_rng(0)

@@ -1,0 +1,114 @@
+"""LOBPCG block-size / iteration sweep for the batched eigensolve.
+
+Motivation: the solver's matvec is (N, N) @ (N, 3*m_block) — with the default
+m_block = K + 8 = 13 only ~39 of the MXU's 128 output lanes do work, so a
+bigger block is nearly FREE per iteration on TPU while converging the bottom-K
+subspace in fewer iterations. This sweeps (m_block, iters) on the real TPU for
+device time (loop-in-jit harness) and on CPU for quality (cosine vs exact eigh
+on image-structured graphs).
+
+Run: python -u scripts/sweep_lobpcg_block.py [--quality-only]
+"""
+import argparse
+import functools
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def image_features(n_imgs, h, w, d, seed=0):
+    """Image-like features: low-frequency spatial modes + an object blob — the
+    same generator as tests/test_solver_lobpcg.py (the graph family the auto
+    solver is validated on)."""
+    feats = []
+    for i in range(n_imgs):
+        rng = np.random.default_rng(seed * 1000 + i)
+        yy, xx = np.mgrid[:h, :w] / h
+        base = np.zeros((h, w, d), np.float32)
+        for _ in range(6):
+            fy, fx = rng.uniform(0.5, 3, 2)
+            ph = rng.uniform(0, 2 * np.pi)
+            base += np.sin(2 * np.pi * (fy * yy + fx * xx) + ph)[..., None] * \
+                rng.standard_normal(d).astype(np.float32)
+        cy, cx = rng.integers(6, h - 6), rng.integers(6, w - 6)
+        blob = ((np.mgrid[:h, :w][0] - cy) ** 2 +
+                (np.mgrid[:h, :w][1] - cx) ** 2) < (min(h, w) // 4) ** 2
+        base[blob] += 3 * rng.standard_normal(d).astype(np.float32)
+        feats.append(base.reshape(-1, d))
+    return np.stack(feats)
+
+
+def quality(configs, n=900, K=5):
+    import jax.numpy as jnp
+    from deep_spectral_tpu.ops.eigen import laplacian_eigs, feature_affinity
+    h = int(np.sqrt(n) * 0.75)
+    w = n // h
+    feats = image_features(8, h, w, 64)
+    n = h * w
+    print(f"quality on {feats.shape[0]} image-structured graphs N={n}")
+    Ws = [np.asarray(feature_affinity(jnp.asarray(f))) for f in feats]
+    refs = [laplacian_eigs(jnp.asarray(W), K, solver="eigh") for W in Ws]
+    for extra, iters in configs:
+        worst_sub = 1.0
+        worst_ev = 0.0
+        for W, (ev_r, V_r) in zip(Ws, refs):
+            ev, V = laplacian_eigs(jnp.asarray(W), K, solver="lobpcg",
+                                   lobpcg_iters=iters, lobpcg_block_extra=extra)
+            V, V_r2 = np.asarray(V), np.asarray(V_r)
+            # Near-degenerate eigenpairs rotate freely inside their subspace,
+            # so compare subspaces (smallest principal-angle cosine), like
+            # tests/test_solver_lobpcg.py does — plus eigenvalue agreement.
+            Q1, _ = np.linalg.qr(V.T)
+            Q2, _ = np.linalg.qr(V_r2.T)
+            s = np.linalg.svd(Q1.T @ Q2, compute_uv=False)
+            worst_sub = min(worst_sub, float(s.min()))
+            worst_ev = max(worst_ev, float(np.abs(np.asarray(ev) -
+                                                  np.asarray(ev_r)).max()))
+        print(f"  m_block={K}+{extra:3d} iters={iters:3d}: worst subspace cos "
+              f"{worst_sub:.6f}  max |dlam| {worst_ev:.2e}")
+
+
+def speed(configs, n=900, batch=64, K=5):
+    import jax
+    import jax.numpy as jnp
+    from deep_spectral_tpu.ops.eigen import laplacian_eigs, feature_affinity
+    from scripts.bench_device_time import timed_loop
+    feats = image_features(batch, 30, n // 30, 64)
+    f = jnp.asarray(feats)
+    for extra, iters in configs:
+        def step(c, extra=extra, iters=iters):
+            W = jax.vmap(feature_affinity)(c)
+            evals, evecs = jax.vmap(lambda w: laplacian_eigs(
+                w, K, solver="lobpcg", lobpcg_iters=iters,
+                lobpcg_block_extra=extra))(W)
+            return c + jnp.mean(evecs).astype(c.dtype) * 1e-9
+
+        try:
+            dt = timed_loop(step, f, n1=2, n2=8)
+        except Exception as e:  # noqa: BLE001
+            print(f"  m_block={K}+{extra:3d} iters={iters:3d}: FAILED "
+                  f"{type(e).__name__}: {str(e)[:90]}")
+            continue
+        print(f"  m_block={K}+{extra:3d} iters={iters:3d}: {dt*1e3:7.1f} ms "
+              f"= {batch/dt:7.1f} img/s (b{batch}, N={feats.shape[1]})")
+
+
+CONFIGS = [(8, 60), (8, 40), (8, 30), (19, 30), (27, 25), (35, 20), (35, 15)]
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quality-only", action="store_true")
+    ap.add_argument("--speed-only", action="store_true")
+    a = ap.parse_args()
+    if not a.speed_only:
+        # quality runs on CPU: each (block, iters) config is a fresh program,
+        # and per-config remote compiles on the TPU tunnel cost minutes each
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        quality(CONFIGS)
+    if not a.quality_only:
+        speed(CONFIGS)

@@ -148,3 +148,43 @@ def test_flash_unequal_block_sizes(rng):
                                      interpret=True))
     ref = _reference_attention(q, k, v, None)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_flash_bthd_layout_matches_bhtd(rng):
+    """'bthd' (transpose-free qkv layout) forward + gradients match the
+    'bhtd' path and the einsum oracle, including a ragged token mask."""
+    import jax
+    import jax.numpy as jnp
+    from deep_spectral_tpu.models.flash_attention import (
+        flash_attention_trainable, _einsum_attention)
+    B, H, T, hd = 2, 3, 200, 32
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[1, 150:] = False
+    mask = jnp.asarray(mask)
+
+    def loss_bhtd(q, k, v):
+        o = flash_attention_trainable(q, k, v, mask, True, "bhtd")
+        return jnp.sum(jnp.where(mask[:, None, :, None], o, 0.0) ** 2)
+
+    def loss_bthd(qt, kt, vt):
+        o = flash_attention_trainable(qt, kt, vt, mask, True, "bthd")
+        return jnp.sum(jnp.where(mask[:, :, None, None], o, 0.0) ** 2)
+
+    def loss_ref(q, k, v):
+        o = _einsum_attention(q, k, v, mask)
+        return jnp.sum(jnp.where(mask[:, None, :, None], o, 0.0) ** 2)
+
+    t = lambda x: x.transpose(0, 2, 1, 3)
+    l1, g1 = jax.value_and_grad(loss_bhtd, argnums=(0, 1, 2))(q, k, v)
+    l2, g2 = jax.value_and_grad(loss_bthd, argnums=(0, 1, 2))(t(q), t(k), t(v))
+    lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(float(l2), float(lr), rtol=1e-4)
+    for a, b, c in zip(g1, g2, gr):
+        np.testing.assert_allclose(np.asarray(t(b)), np.asarray(a),
+                                   atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(t(b)), np.asarray(c),
+                                   atol=1e-3, rtol=1e-3)
