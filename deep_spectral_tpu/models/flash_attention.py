@@ -389,18 +389,27 @@ def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
         B, T, H, hd = q.shape
         bq = block_q or PACKED_BLOCK_Q
         bk = block_k or PACKED_BLOCK_K
-        # Rough scoped-VMEM estimate: double-buffered q/k/v/out blocks +
-        # per-head scratch + one fp32 score tile (+ its bf16 copy). Halve
-        # block_q until it fits the ~16 MB budget with headroom — e.g. ViT-B
-        # (H=12, D=768) needs block_q 256.
+        # Scoped-VMEM estimate: q/k/v/out blocks (double-buffered only when an
+        # axis has more than one block — Pallas single-buffers a revisited
+        # block), per-head m/l/acc scratch, one fp32 score tile + its bf16
+        # copy. Measured reality runs ~40% above the naive sum (compiler
+        # temporaries), so the 16 MB budget is checked against est * 1.4.
+        # Halves block_q until it fits — e.g. T=4096 lands on (256, 1024),
+        # ViT-B (H=12, D=768) on 256 as well.
         D = H * hd
-        while bq > 128:
-            est = (2 * 2 * (2 * bq * D + 2 * bk * D)        # q+out, k+v, x2 buf
-                   + H * bq * (2 * LANES + hd) * 4          # m/l/acc scratch
-                   + bq * bk * 6)                           # s fp32 + p bf16
-            if est <= 12 * 2 ** 20:
-                break
+
+        def _est(bq, bk):
+            Tp = -(-T // math.lcm(bq, bk)) * math.lcm(bq, bk)
+            buf_q = 2 if Tp > bq else 1
+            buf_k = 2 if Tp > bk else 1
+            return (2 * (buf_q * 2 * bq * D + buf_k * 2 * bk * D)
+                    + H * bq * (2 * LANES + hd) * 4
+                    + bq * bk * 6)
+
+        while bq > 128 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
             bq //= 2
+        while bk > 256 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
+            bk //= 2  # wide-D models (ViT-B at long T): shrink the KV block too
         return _flash_forward_packed(
             q, k, v, kv_mask, num_heads=H, block_q=bq, block_k=bk,
             interpret=interpret)
