@@ -387,29 +387,7 @@ def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
     """
     if layout == "bthd":
         B, T, H, hd = q.shape
-        bq = block_q or PACKED_BLOCK_Q
-        bk = block_k or PACKED_BLOCK_K
-        # Scoped-VMEM estimate: q/k/v/out blocks (double-buffered only when an
-        # axis has more than one block — Pallas single-buffers a revisited
-        # block), per-head m/l/acc scratch, one fp32 score tile + its bf16
-        # copy. Measured reality runs ~40% above the naive sum (compiler
-        # temporaries), so the 16 MB budget is checked against est * 1.4.
-        # Halves block_q until it fits — e.g. T=4096 lands on (256, 1024),
-        # ViT-B (H=12, D=768) on 256 as well.
-        D = H * hd
-
-        def _est(bq, bk):
-            Tp = -(-T // math.lcm(bq, bk)) * math.lcm(bq, bk)
-            buf_q = 2 if Tp > bq else 1
-            buf_k = 2 if Tp > bk else 1
-            return (2 * (buf_q * 2 * bq * D + buf_k * 2 * bk * D)
-                    + H * bq * (2 * LANES + hd) * 4
-                    + bq * bk * 6)
-
-        while bq > 128 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
-            bq //= 2
-        while bk > 256 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
-            bk //= 2  # wide-D models (ViT-B at long T): shrink the KV block too
+        bq, bk = pick_packed_blocks(T, H, hd, block_q, block_k)
         return _flash_forward_packed(
             q, k, v, kv_mask, num_heads=H, block_q=bq, block_k=bk,
             interpret=interpret)
@@ -417,6 +395,35 @@ def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
                           block_q=block_q or DEFAULT_BLOCK,
                           block_k=block_k or DEFAULT_BLOCK,
                           interpret=interpret)
+
+
+def pick_packed_blocks(T, H, hd, block_q=None, block_k=None):
+    """VMEM-fitting (block_q, block_k) for the packed kernel.
+
+    Scoped-VMEM estimate: q/k/v/out blocks (double-buffered only when an axis
+    has more than one block — Pallas single-buffers a revisited block),
+    per-head m/l/acc scratch, one fp32 score tile + its bf16 copy. Measured
+    reality runs ~40% above the naive sum (compiler temporaries), so the
+    16 MB budget is checked against est * 1.4. Halves block_q (then block_k
+    for wide-D models) until it fits — e.g. T=4096/H=6 lands on (256, 1024),
+    ViT-S T=1024 keeps (512, 1024), ViT-B T=4096 on (128, 512)."""
+    bq = block_q or PACKED_BLOCK_Q
+    bk = block_k or PACKED_BLOCK_K
+    D = H * hd
+
+    def _est(bq, bk):
+        Tp = -(-T // math.lcm(bq, bk)) * math.lcm(bq, bk)
+        buf_q = 2 if Tp > bq else 1
+        buf_k = 2 if Tp > bk else 1
+        return (2 * (buf_q * 2 * bq * D + buf_k * 2 * bk * D)
+                + H * bq * (2 * LANES + hd) * 4
+                + bq * bk * 6)
+
+    while bq > 128 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
+        bq //= 2
+    while bk > 256 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
+        bk //= 2
+    return bq, bk
 
 
 def _einsum_attention(q, k, v, kv_mask):

@@ -142,7 +142,13 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, name="fc1", dtype=self.compute_dtype)(x)
-        x = nn.gelu(x, approximate=False)  # torch nn.GELU default is exact erf
+        # torch nn.GELU default is exact erf — kept for the fp32 parity path.
+        # Under bf16 compute the tanh approximation is used instead: its error
+        # (|d| <= ~3e-3 near |x|~1) is below bf16's own resolution (~8e-3),
+        # and erf is markedly more VPU work on the (B, T, 4D) intermediate —
+        # the MLP fusions are the largest single cost of the ViT forward.
+        approx = self.compute_dtype == jnp.bfloat16
+        x = nn.gelu(x, approximate=approx)
         return nn.Dense(self.dim, name="fc2", dtype=self.compute_dtype)(x)
 
 

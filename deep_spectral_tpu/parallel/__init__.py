@@ -5,4 +5,5 @@ from .sharded import (  # noqa: F401
     sharded_patch_features,
     row_sharded_laplacian_eigs,
 )
+from .ring_attention import ring_attention, ring_attention_sharded  # noqa: F401
 from . import distributed  # noqa: F401

@@ -1,0 +1,119 @@
+"""Ring attention: sequence-parallel masked attention over a device mesh.
+
+The framework's long-context plan (SURVEY.md section 5) shards the token
+dimension: the row-block-sharded eigensolve covers the spectral stage, and
+this module covers the ViT attention stage for sequences too long for one
+chip's HBM (e.g. P=8 backbones beyond 540px, where even flash attention's
+K/V residency per chip becomes the ceiling).
+
+Scheme (the standard ring / "blockwise parallel" attention, expressed with
+`shard_map` + `jax.lax.ppermute` so XLA schedules the ICI transfers):
+
+  * q, k, v are (B, H, T, hd) with T sharded over the mesh axis: each device
+    holds one token shard of all three plus its KV validity-mask shard.
+  * Each of the `n_shards` steps, every device updates an fp32 online-softmax
+    accumulator (m, l, acc) for ITS q shard against the K/V shard currently
+    resident, then rotates K/V (and the mask shard) one hop around the ring.
+    After n hops every q row has attended to every kv position; no device
+    ever materializes more than one (T/n, T/n) score tile, and the rotation
+    overlaps with compute on the ICI torus.
+  * Numerics match the masked-softmax oracle exactly up to fp32 associativity
+    (same online-softmax recurrence as the flash kernel,
+    models/flash_attention.py).
+
+On one device this degrades to a single local attention (no collectives).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from .mesh import MODEL_AXIS
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def ring_attention(
+    mesh: Mesh,
+    q: jax.Array,                     # (B, H, T, hd)
+    k: jax.Array,
+    v: jax.Array,
+    kv_mask: Optional[jax.Array] = None,   # (B, T)
+    *,
+    axis: str = MODEL_AXIS,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(hd) + mask) v with T sharded over `axis`.
+
+    T must be divisible by the axis size (pad and mask the tail — padding is
+    provably inert via the KV mask, like everywhere else in the framework).
+    Returns (B, H, T, hd) sharded like q.
+    """
+    B, H, T, hd = q.shape
+    n_shards = int(mesh.shape[axis])
+    if T % n_shards:
+        raise ValueError(f"T={T} not divisible by {axis} axis ({n_shards}); "
+                         "pad tokens and extend kv_mask")
+    if kv_mask is None:
+        kv_mask = jnp.ones((B, T), dtype=bool)
+    sm_scale = 1.0 / math.sqrt(hd)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    def local(q_l, k_l, v_l, m_l):
+        # q_l: (B, H, Tl, hd); m_l: (B, Tl). fp32 accumulators.
+        # Derive the accumulators from q_l so they carry shard_map's
+        # varying-over-axis type (freshly created constants are 'replicated'
+        # and would not typecheck as scan carries against ppermuted values).
+        zero = (q_l[..., :1] * 0).astype(jnp.float32)       # (B, H, Tl, 1)
+        m_run = zero - jnp.inf
+        l_run = zero
+        acc = jnp.broadcast_to(zero, (*zero.shape[:3], hd)).astype(jnp.float32)
+
+        def hop(carry, _):
+            k_c, v_c, m_c, m_run, l_run, acc = carry
+            s = jnp.einsum("bhtd,bhsd->bhts", q_l, k_c,
+                           preferred_element_type=jnp.float32) * sm_scale
+            s = jnp.where(m_c[:, None, None, :], s, MASK_VALUE)
+            m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_run - m_new)
+            p = jnp.exp(s - m_new)
+            p = jnp.where(m_c[:, None, None, :], p, 0.0)
+            l_new = alpha * l_run + jnp.sum(p, axis=-1, keepdims=True)
+            acc_new = acc * alpha + jnp.einsum(
+                "bhts,bhsd->bhtd", p.astype(v_c.dtype), v_c,
+                preferred_element_type=jnp.float32)
+            # rotate the resident K/V (+ mask) shard one hop around the ring
+            k_n = jax.lax.ppermute(k_c, axis, perm)
+            v_n = jax.lax.ppermute(v_c, axis, perm)
+            m_n = jax.lax.ppermute(m_c, axis, perm)
+            return (k_n, v_n, m_n, m_new, l_new, acc_new), None
+
+        (k_l, v_l, m_l, m_run, l_run, acc), _ = jax.lax.scan(
+            hop, (k_l, v_l, m_l, m_run, l_run, acc), None, length=n_shards)
+        l_inv = jnp.where(l_run == 0.0, 1.0, 1.0 / l_run)
+        return (acc * l_inv).astype(q_l.dtype)
+
+    tok = P(None, None, axis, None)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(tok, tok, tok, P(None, axis)),
+                   out_specs=tok)
+    return fn(q, k, v, kv_mask)
+
+
+def ring_attention_sharded(mesh: Mesh, q, k, v, kv_mask=None, *,
+                           axis: str = MODEL_AXIS):
+    """`ring_attention` with explicit input placement: shards host arrays over
+    the token axis first (convenience for drivers/tests)."""
+    if q.shape[2] % int(mesh.shape[axis]):
+        raise ValueError(f"T={q.shape[2]} not divisible by {axis} axis "
+                         f"({int(mesh.shape[axis])}); pad tokens and extend "
+                         "kv_mask")
+    tok = NamedSharding(mesh, P(None, None, axis, None))
+    q, k, v = (jax.device_put(x, tok) for x in (q, k, v))
+    if kv_mask is not None:
+        kv_mask = jax.device_put(kv_mask, NamedSharding(mesh, P(None, axis)))
+    return ring_attention(mesh, q, k, v, kv_mask, axis=axis)

@@ -1,9 +1,8 @@
-"""Empirical (block_q, block_k) sweep for the Pallas flash-attention kernel at
-the ViT-S/8 workload (T=3601 tokens, 6 heads, hd=64, bf16 I/O) on the real TPU.
-
-Prints ms per forward (12-layer-equivalent count is x12) per configuration.
-Timing forces a host fetch after a stream of calls (the tunnel's
-block_until_ready is unreliable).
+"""SUPERSEDED: per-call host timing through the axon tunnel conflates the
+~30-100 ms dispatch/fetch round-trip with device compute, which made this
+sweep noise-dominated (it reported 38-46 ms for kernels that actually run in
+3-10 ms). Use scripts/bench_device_time.py (loop-in-jit, two-length
+difference) for honest kernel timing; kept for the transport-level view.
 
 Run: python -u scripts/sweep_flash_blocks.py
 """

@@ -188,3 +188,17 @@ def test_flash_bthd_layout_matches_bhtd(rng):
                                    atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(t(b)), np.asarray(c),
                                    atol=1e-3, rtol=1e-3)
+
+
+def test_packed_block_guard():
+    """The packed kernel's block guard keeps the tuned blocks where they fit
+    and shrinks them (q first, then k) where the scoped-VMEM budget would
+    overflow (T=4096 at (512,1024) OOM'd on hardware at 16.47M/16M)."""
+    from deep_spectral_tpu.models.flash_attention import pick_packed_blocks
+    assert pick_packed_blocks(1024, 6, 64) == (512, 1024)   # vits16 @480
+    assert pick_packed_blocks(3601, 6, 64) == (256, 1024)   # vits8 @480
+    bq, bk = pick_packed_blocks(3601, 12, 64)               # vitb8 @480
+    assert bq <= 256 and bk <= 1024
+    assert pick_packed_blocks(1024, 12, 64)[0] <= 256       # vitb16 @480
+    # explicit blocks are respected when they fit
+    assert pick_packed_blocks(1024, 6, 64, 256, 512) == (256, 512)
