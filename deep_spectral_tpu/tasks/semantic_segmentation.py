@@ -412,7 +412,14 @@ def train_step(state: TrainState, images: jax.Array, labels: jax.Array,
             {"params": params, "batch_stats": state.batch_stats},
             images, train=True, mutable=["batch_stats"],
             rngs={"dropout": rng})
-        ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+        # One-hot CE instead of optax's integer-label version: the latter's
+        # take_along_axis lowers to a per-pixel scalar gather on TPU that
+        # profiled at 24.5 ms/step = 59% of the ENTIRE b32 train step
+        # (scripts/profile_train_step.py); the one-hot multiply-sum is a
+        # vectorized sub-ms fusion with identical math.
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logp.dtype)
+        ce = -jnp.sum(onehot * logp, axis=-1)
         return jnp.mean(ce), (mutated["batch_stats"], logits)
 
     (loss, (new_bs, logits)), grads = jax.value_and_grad(

@@ -66,11 +66,15 @@ def main():
     ev = d.get("traceEvents", [])
     pids = {e["pid"]: e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    tids = {(e["pid"], e["tid"]): e["args"].get("name", "") for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
     cat = collections.Counter()
     tot = 0
     for e in ev:
         if (e.get("ph") == "X" and "dur" in e
-                and pids.get(e.get("pid"), "") == "/device:TPU:0"):
+                and pids.get(e.get("pid"), "") == "/device:TPU:0"
+                # 'Steps' carries the profiler's per-step markers, not ops
+                and tids.get((e["pid"], e["tid"]), "") != "Steps"):
             name = e["name"]
             if name.startswith("jit_"):
                 continue
