@@ -47,17 +47,23 @@ def _gaussian_kernel_1d(sigma: float) -> jax.Array:
 
 
 def _conv_axis(x: jax.Array, kernel: jax.Array, axis: int) -> jax.Array:
-    """1-D convolution along `axis` of an N-D array (zero padding)."""
+    """1-D convolution along `axis` of an N-D array (zero padding).
+
+    Implemented as shifted-slice multiply-adds: the moveaxis+reshape+
+    1-channel-conv formulation relayouts the whole array per axis, which
+    profiled as most of the CRF's device time on a v5e (the 5-D grid blur
+    runs this 5x per mean-field iteration). Slices along non-minor axes
+    preserve layout and the taps fuse into one elementwise kernel."""
     r = (kernel.shape[0] - 1) // 2
-    x_moved = jnp.moveaxis(x, axis, -1)
-    shape = x_moved.shape
-    flat = x_moved.reshape(-1, 1, shape[-1])
-    out = jax.lax.conv_general_dilated(
-        flat, kernel.reshape(1, 1, -1),
-        window_strides=(1,), padding=[(r, r)],
-        dimension_numbers=("NCH", "OIH", "NCH"),
-    )
-    return jnp.moveaxis(out.reshape(shape), -1, axis)
+    n = x.shape[axis]
+    pad_cfg = [(0, 0)] * x.ndim
+    pad_cfg[axis] = (r, r)
+    xp = jnp.pad(x, pad_cfg)
+    out = None
+    for t in range(kernel.shape[0]):
+        term = jax.lax.slice_in_dim(xp, t, t + n, axis=axis) * kernel[t]
+        out = term if out is None else out + term
+    return out
 
 
 def gaussian_filter_2d(x: jax.Array, sigma: float) -> jax.Array:
@@ -117,6 +123,17 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     full resolution with the full-resolution guide.
     """
     H, W, C = values.shape
+    # Pad the channel dim so (C + homogeneous 1) is a multiple of 8: every
+    # grid tensor's minor dim is C+1, and a 7-wide minor dim made XLA relayout
+    # the (G, C+1) <-> 5-D blur views on every mean-field iteration (~28 ms of
+    # reshape/copy per 10-iteration CRF at 320x480 on a v5e). Zero channels
+    # pass through the linear filter exactly (they stay zero) and are sliced
+    # off below.
+    C_pad = (-(C + 1) % 8)
+    if C_pad:
+        values = jnp.concatenate(
+            [values, jnp.zeros((H, W, C_pad), values.dtype)], axis=-1)
+    C_in = C + C_pad
     gy, gx, gc = _bilateral_grid_shape(H, W, alpha, beta)
     grid_shape = (gy, gx, gc, gc, gc)
     G = gy * gx * gc * gc * gc
@@ -147,16 +164,16 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     w = jnp.prod(jnp.where(offs[:, None, :] == 1, frac[None], 1.0 - frac[None]),
                  axis=-1)                     # (32, n_lr)
     flat = jnp.sum(idx5 * strides[None, None, :], axis=-1)  # (32, n_lr)
-    updates = (vals_lr.reshape(1, n_lr, C + 1) * w[..., None] *
-               float(s * s)).reshape(32 * n_lr, C + 1)
-    grid = jnp.zeros((G, C + 1), jnp.float32).at[flat.reshape(-1)].add(updates)
+    updates = (vals_lr.reshape(1, n_lr, C_in + 1) * w[..., None] *
+               float(s * s)).reshape(32 * n_lr, C_in + 1)
+    grid = jnp.zeros((G, C_in + 1), jnp.float32).at[flat.reshape(-1)].add(updates)
 
     # ---- blur: separable 3-tap [1, 2, 1] along each of the 5 grid dims ----
-    g5 = grid.reshape(*grid_shape, C + 1)
+    g5 = grid.reshape(*grid_shape, C_in + 1)
     k = jnp.asarray([1.0, 2.0, 1.0], jnp.float32)
     for axis in range(5):
         g5 = _conv_axis(g5, k, axis)
-    grid = g5.reshape(G, C + 1)
+    grid = g5.reshape(G, C_in + 1)
 
     # ---- slice (full-res guide) ----
     # Trilinear in the 3 color dims (the boundary-sharpening signal), bilinear
@@ -171,7 +188,7 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     lo_c = jnp.floor(coords_f[:, 2:])
     frac_c = coords_f[:, 2:] - lo_c
     lo_c = lo_c.astype(jnp.int32)
-    out = jnp.zeros((H * W, C + 1), jnp.float32)
+    out = jnp.zeros((H * W, C_in + 1), jnp.float32)
     for corner in range(8):
         o = jnp.asarray([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1],
                         jnp.int32)
@@ -180,7 +197,7 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
         wc = jnp.prod(jnp.where(o[None, :] == 1, frac_c, 1.0 - frac_c), axis=1)
         out = out + grid[idx] * wc[:, None]
 
-    filtered, density = out[:, :C], out[:, C:]
+    filtered, density = out[:, :C], out[:, C_in:]
     return (filtered / jnp.maximum(density, 1e-20)).reshape(H, W, C), \
         density.reshape(H, W, 1)
 

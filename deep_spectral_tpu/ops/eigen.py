@@ -70,7 +70,7 @@ def laplacian_eigs(
     solver: str = "auto",
     lobpcg_iters: Optional[int] = None,
     lobpcg_tol: Optional[float] = None,
-    lobpcg_block_extra: int = 8,
+    lobpcg_block_extra: int = 3,
 ) -> Tuple[jax.Array, jax.Array]:
     """Smallest-K eigenpairs of the graph Laplacian of affinity W.
 
@@ -97,13 +97,14 @@ def laplacian_eigs(
             numerically converged".
 
     Block-size note (measured on v5e, scripts/sweep_lobpcg_block.py,
-    device-time harness, b64 N=900 K=5): a LARGER block is NOT faster on TPU
-    even though the matvec has idle MXU lanes — lobpcg_standard's per-iteration
-    orthonormalization/Rayleigh-Ritz work scales with the basis size and
-    dominates: block 13 = 47 ms/batch vs block 40 = 187 ms at identical
-    >=0.999999 subspace quality. The iteration cap is also not binding on
-    image-structured graphs (tol early-exit converges in <30 iters; 30 vs 60
-    cap measure identically). Keep the block at K + 8.
+    device-time harness, b64 N=900 K=5): a SMALLER block is faster on TPU —
+    lobpcg_standard's per-iteration orthonormalization/Rayleigh-Ritz batched
+    small-eigh custom-calls dominate the solve (~91% of its device time,
+    profiled) and scale ~n^3 with the basis: extra=3 -> 36.5 ms/batch,
+    extra=8 -> 46.7, extra=35 -> 187. Quality floor at extra=3: worst
+    subspace cosine 0.99997 across K in {5, 20} and N in {900, 4000}
+    (>= 0.999 required). The iteration cap is not binding on
+    image-structured graphs (tol early-exit converges in <30 iters).
 
     Returns (eigenvalues (K,), eigenvectors (K, N)) sorted ascending, eigenvectors
     row-major like the reference's saved dict (extract/extract.py:235, :243),

@@ -97,7 +97,10 @@ def speed(configs, n=900, batch=64, K=5):
               f"= {batch/dt:7.1f} img/s (b{batch}, N={feats.shape[1]})")
 
 
-CONFIGS = [(8, 60), (8, 40), (8, 30), (19, 30), (27, 25), (35, 20), (35, 15)]
+# Round-2 finding: SMALLER blocks win on TPU (per-iteration RR/ortho eigh
+# custom-calls scale ~n^3 with the basis); quality holds down to extra=3
+# (worst subspace cos 0.999998 at N=880, K=5).
+CONFIGS = [(8, 60), (5, 60), (3, 60), (3, 80)]
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()

@@ -42,7 +42,7 @@ def test_lobpcg_solver_matches_eigh_on_image_graphs(rng, lapnorm):
 
 def test_lobpcg_k20_default_config(rng):
     """The extract_eigs default (K=20) on an image-structured graph: the auto
-    solver's block is K+8=28, which needs N >= 113; verify quality holds for
+    solver's block is K+3=23, which needs N >= 93; verify quality holds for
     the deeper eigenspace too."""
     K = 20
     feats = _smooth_features(np.random.default_rng(7), h=30, w=30, d=96)
