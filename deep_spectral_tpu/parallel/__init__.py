@@ -6,4 +6,5 @@ from .sharded import (  # noqa: F401
     row_sharded_laplacian_eigs,
 )
 from .ring_attention import ring_attention, ring_attention_sharded  # noqa: F401
+from .sp_vit import sp_patch_features  # noqa: F401
 from . import distributed  # noqa: F401

@@ -38,6 +38,49 @@ from .mesh import MODEL_AXIS
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def ring_attention_local(q_l, k_l, v_l, m_l, *, axis: str, n_shards: int):
+    """The per-device body of ring attention, for use INSIDE a `shard_map`
+    over `axis`: q_l/k_l/v_l (B, H, Tl, hd) local token shards, m_l (B, Tl)
+    the local KV validity shard. Runs the n_shards-hop K/V rotation with an
+    fp32 online-softmax accumulator and returns the local attention output
+    (B, H, Tl, hd). Also reused by the sequence-parallel ViT
+    (parallel/sp_vit.py), whose blocks run entirely inside one shard_map."""
+    B, H, Tl, hd = q_l.shape
+    sm_scale = 1.0 / math.sqrt(hd)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    # Derive the accumulators from q_l so they carry shard_map's
+    # varying-over-axis type (freshly created constants are 'replicated'
+    # and would not typecheck as scan carries against ppermuted values).
+    zero = (q_l[..., :1] * 0).astype(jnp.float32)       # (B, H, Tl, 1)
+    m_run = zero - jnp.inf
+    l_run = zero
+    acc = jnp.broadcast_to(zero, (*zero.shape[:3], hd)).astype(jnp.float32)
+
+    def hop(carry, _):
+        k_c, v_c, m_c, m_run, l_run, acc = carry
+        s = jnp.einsum("bhtd,bhsd->bhts", q_l, k_c,
+                       preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(m_c[:, None, None, :], s, MASK_VALUE)
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_run - m_new)
+        p = jnp.exp(s - m_new)
+        p = jnp.where(m_c[:, None, None, :], p, 0.0)
+        l_new = alpha * l_run + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bhts,bhsd->bhtd", p.astype(v_c.dtype), v_c,
+            preferred_element_type=jnp.float32)
+        # rotate the resident K/V (+ mask) shard one hop around the ring
+        k_n = jax.lax.ppermute(k_c, axis, perm)
+        v_n = jax.lax.ppermute(v_c, axis, perm)
+        m_n = jax.lax.ppermute(m_c, axis, perm)
+        return (k_n, v_n, m_n, m_new, l_new, acc_new), None
+
+    (k_l, v_l, m_l, m_run, l_run, acc), _ = jax.lax.scan(
+        hop, (k_l, v_l, m_l, m_run, l_run, acc), None, length=n_shards)
+    l_inv = jnp.where(l_run == 0.0, 1.0, 1.0 / l_run)
+    return (acc * l_inv).astype(q_l.dtype)
+
+
 def ring_attention(
     mesh: Mesh,
     q: jax.Array,                     # (B, H, T, hd)
@@ -60,42 +103,10 @@ def ring_attention(
                          "pad tokens and extend kv_mask")
     if kv_mask is None:
         kv_mask = jnp.ones((B, T), dtype=bool)
-    sm_scale = 1.0 / math.sqrt(hd)
-    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
 
     def local(q_l, k_l, v_l, m_l):
-        # q_l: (B, H, Tl, hd); m_l: (B, Tl). fp32 accumulators.
-        # Derive the accumulators from q_l so they carry shard_map's
-        # varying-over-axis type (freshly created constants are 'replicated'
-        # and would not typecheck as scan carries against ppermuted values).
-        zero = (q_l[..., :1] * 0).astype(jnp.float32)       # (B, H, Tl, 1)
-        m_run = zero - jnp.inf
-        l_run = zero
-        acc = jnp.broadcast_to(zero, (*zero.shape[:3], hd)).astype(jnp.float32)
-
-        def hop(carry, _):
-            k_c, v_c, m_c, m_run, l_run, acc = carry
-            s = jnp.einsum("bhtd,bhsd->bhts", q_l, k_c,
-                           preferred_element_type=jnp.float32) * sm_scale
-            s = jnp.where(m_c[:, None, None, :], s, MASK_VALUE)
-            m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
-            alpha = jnp.exp(m_run - m_new)
-            p = jnp.exp(s - m_new)
-            p = jnp.where(m_c[:, None, None, :], p, 0.0)
-            l_new = alpha * l_run + jnp.sum(p, axis=-1, keepdims=True)
-            acc_new = acc * alpha + jnp.einsum(
-                "bhts,bhsd->bhtd", p.astype(v_c.dtype), v_c,
-                preferred_element_type=jnp.float32)
-            # rotate the resident K/V (+ mask) shard one hop around the ring
-            k_n = jax.lax.ppermute(k_c, axis, perm)
-            v_n = jax.lax.ppermute(v_c, axis, perm)
-            m_n = jax.lax.ppermute(m_c, axis, perm)
-            return (k_n, v_n, m_n, m_new, l_new, acc_new), None
-
-        (k_l, v_l, m_l, m_run, l_run, acc), _ = jax.lax.scan(
-            hop, (k_l, v_l, m_l, m_run, l_run, acc), None, length=n_shards)
-        l_inv = jnp.where(l_run == 0.0, 1.0, 1.0 / l_run)
-        return (acc * l_inv).astype(q_l.dtype)
+        return ring_attention_local(q_l, k_l, v_l, m_l, axis=axis,
+                                    n_shards=n_shards)
 
     tok = P(None, None, axis, None)
     fn = shard_map(local, mesh=mesh,
