@@ -34,16 +34,21 @@ BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 # ViT-S/16 @ 480^2: T = 901 tokens (CLS incl.), D = 384, 12 pre-norm blocks:
 #   per block 24*T*D^2 (qkv+proj+mlp matmuls) + 4*T^2*D (attention scores+mix)
 #   plus the stride-16 patch-embed conv.
-# Eigs (N = 900, LOBPCG block 13, <= 60 iters, 3-block basis matvecs) +
-# the affinity matmul. Conservative: ignores softmax/norm/elementwise FLOPs.
+# Eigs: affinity matmul + LOBPCG with the tuned block K+3 (ops/eigen.py) and
+# ~30 effective iterations (the tol early-exit converges <30 on image graphs;
+# the cap is 60 but idle trips do no matvec work). 3-column basis matvecs
+# x ~3 matmul-equivalents per iteration. Ignores softmax/norm/elementwise
+# FLOPs (understates) but counts the iteration budget honestly (a stale
+# block-13/60-iter model here overstated FLOPS_PER_IMAGE ~12%).
 _T, _D, _DEPTH, _N = 901, 384, 12, 900
+_EIG_ITERS, _EIG_BLOCK = 30, K + 3
 VIT_FLOPS = _DEPTH * (24 * _T * _D**2 + 4 * _T**2 * _D) + 2 * _N * _D * (16 * 16 * 3)
-EIG_FLOPS = 2 * _N**2 * _D + 60 * 3 * 2 * _N**2 * (K + 8) * 3
+EIG_FLOPS = 2 * _N**2 * _D + _EIG_ITERS * 3 * 2 * _N**2 * _EIG_BLOCK * 3
 FLOPS_PER_IMAGE = VIT_FLOPS + EIG_FLOPS
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s
 
 
-def measure_tpu(batch: int = BATCH) -> float:
+def measure_tpu(batch: int = BATCH) -> tuple[float, float]:
     import jax
     import jax.numpy as jnp
     from deep_spectral_tpu.models.convert import load_params

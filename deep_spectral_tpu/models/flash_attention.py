@@ -397,6 +397,26 @@ def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
                           interpret=interpret)
 
 
+def will_use_flash(impl: str, T: int, want_attn: bool = False) -> bool:
+    """Single source of truth for the flash dispatch rule. Used by BOTH the
+    Attention module and VisionTransformer's pad-once pre-padding — a drifted
+    copy would either pre-pad for an einsum layer (wasted rows through every
+    block) or skip the pre-pad while flash runs (reinstating ~24 ms/call of
+    per-layer pad/slice), both silently.
+
+    'auto' takes flash on TPU from T >= 768: at T=901 (vits16 @480, b64) the
+    whole-model forward measures 903 img/s flash vs 863 einsum on a v5e; the
+    materialized path pays VPU softmax + (T, T) HBM traffic. Below that,
+    blocks clamp to the padded T and einsum compiles faster for no measured
+    loss. want_attn always forces einsum (flash never materializes the
+    attention map)."""
+    if want_attn:
+        return False
+    if impl == "flash":
+        return True
+    return impl == "auto" and jax.default_backend() == "tpu" and T >= 768
+
+
 def pick_packed_blocks(T, H, hd, block_q=None, block_k=None):
     """VMEM-fitting (block_q, block_k) for the packed kernel.
 
@@ -439,10 +459,38 @@ def _einsum_attention(q, k, v, kv_mask):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+def pick_bwd_blocks(T, hd, block_q=None, block_k=None):
+    """VMEM-fitting (block_q, block_k) for the backward kernels. The dKV/dQ
+    cells hold FOUR (block_q, block_k) fp32 score-sized tiles (s, p, dp, ds)
+    plus bf16 matmul casts — far more than the forward's one — so the forward
+    default (1024, 1024) cannot fit the 16 MB scoped-VMEM budget (the forward
+    itself OOM'd at two such tiles). Start at (512, 512) (~6 MB naive, ~9 MB
+    with the measured ~1.4x compiler overhead) and halve until it fits."""
+    bq = block_q or 512
+    bk = block_k or 512
+
+    def est(bq, bk):
+        blk = math.lcm(bq, bk)
+        Tp = -(-T // blk) * blk
+        buf_q = 2 if Tp > bq else 1
+        buf_k = 2 if Tp > bk else 1
+        return (bq * bk * 14                               # s/p/dp/ds + casts
+                + buf_q * 2 * (2 * bq * hd + bq * LANES * 4 * 2)
+                + buf_k * 2 * 2 * bk * hd
+                + 2 * bk * hd * 4)                         # dk/dv scratch
+
+    while bq > 128 and est(bq, bk) * 1.4 > 15 * 2 ** 20:
+        bq //= 2
+    while bk > 128 and est(bq, bk) * 1.4 > 15 * 2 ** 20:
+        bk //= 2
+    return bq, bk
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=DEFAULT_BLOCK,
-                    block_k=DEFAULT_BLOCK, interpret=False):
+def _flash_backward(q, k, v, kv_mask, o, lse, do, *, block_q=None,
+                    block_k=None, interpret=False):
     B, H, T, hd = q.shape
+    block_q, block_k = pick_bwd_blocks(T, hd, block_q, block_k)
     sm_scale = 1.0 / math.sqrt(hd)
     qp, kp, vp, mp, Tp = _pad_inputs(q, k, v, kv_mask, block_q, block_k)
     dop = jnp.pad(do, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))

@@ -89,17 +89,12 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, T, 3, H, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, T, H, hd)
 
+        from .flash_attention import will_use_flash
         impl = self.attention_impl
         if impl == "auto":
-            # Flash wins on TPU well below the fits-in-HBM boundary: at T=901
-            # (vits16 @480px, b64) the whole-model forward measures 903 img/s
-            # flash vs 863 einsum on a v5e (device-time harness,
-            # scripts/bench_device_time.py) — the materialized path pays VPU
-            # softmax + (T, T) HBM traffic. Below ~768 tokens blocks clamp to
-            # the padded T and the einsum path compiles faster for no
-            # measured loss, so keep it there.
-            on_tpu = jax.default_backend() == "tpu"
-            impl = "flash" if (on_tpu and T >= 768 and not want_attn) else "einsum"
+            # shared predicate with VisionTransformer's pad-once pre-padding
+            # (see will_use_flash's docstring for the measured threshold)
+            impl = "flash" if will_use_flash(impl, T, want_attn) else "einsum"
 
         if impl == "flash" and not want_attn:
             from .flash_attention import flash_attention_trainable
@@ -249,11 +244,8 @@ class VisionTransformer(nn.Module):
         T_valid = 1 + N
         padded_to = None
         if not want_attn:
-            from .flash_attention import DEFAULT_BLOCK
-            impl = self.attention_impl
-            will_flash = impl == "flash" or (
-                impl == "auto" and jax.default_backend() == "tpu"
-                and T_valid >= 768)
+            from .flash_attention import DEFAULT_BLOCK, will_use_flash
+            will_flash = will_use_flash(self.attention_impl, T_valid, want_attn)
             Tp = -(-T_valid // DEFAULT_BLOCK) * DEFAULT_BLOCK
             if will_flash and Tp != T_valid:
                 tokens = jnp.pad(tokens, ((0, 0), (0, Tp - T_valid), (0, 0)))

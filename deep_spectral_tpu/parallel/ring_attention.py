@@ -33,9 +33,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from ..models.flash_attention import MASK_VALUE
 from .mesh import MODEL_AXIS
-
-MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def ring_attention_local(q_l, k_l, v_l, m_l, *, axis: str, n_shards: int):

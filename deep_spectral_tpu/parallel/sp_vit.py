@@ -94,7 +94,6 @@ def sp_patch_features(
     which_block = which_block % cfg.depth
 
     def local(tok_l, mask_l):
-        k_out = None
         for i in range(cfg.depth):
             blk = p[f"blocks_{i}"]
             hh = _ln(tok_l, blk["norm1"])
@@ -103,7 +102,9 @@ def sp_patch_features(
             qkv = qkv.reshape(B, Tl, 3, H, hd)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, Tl, H, hd)
             if i == which_block:
-                k_out = k.reshape(B, Tl, D)
+                # the extracted keys come from this block's qkv projection;
+                # its attention/MLP (and all later blocks) cannot affect them
+                return k.reshape(B, Tl, D)
             o = ring_attention_local(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), mask_l, axis=axis, n_shards=n_shards)
@@ -112,9 +113,7 @@ def sp_patch_features(
             tok_l = tok_l + _dense(
                 jax.nn.gelu(_dense(_ln(tok_l, blk["norm2"]), blk["mlp"]["fc1"]),
                             approximate=False), blk["mlp"]["fc2"])
-            if i == which_block:
-                break  # later blocks don't affect the extracted keys
-        return k_out
+        raise AssertionError("unreachable: which_block in range(depth)")
 
     tok_spec = P(None, axis, None)
     fn = shard_map(local, mesh=mesh,

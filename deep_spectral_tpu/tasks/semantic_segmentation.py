@@ -48,11 +48,19 @@ def upsample_pseudolabel(segmap: np.ndarray, image_hw: tuple[int, int]) -> np.nd
     Pure numpy with cv2 INTER_NEAREST index semantics (src = floor(dst*in/out),
     identical to ops.resize.resize_nearest) — this runs inside dataset
     __getitem__ on the producer threads, where a JAX dispatch would cost a
-    remote-device round-trip (~100 ms) PER IMAGE on a tunneled TPU."""
+    remote-device round-trip (~100 ms) PER IMAGE on a tunneled TPU.
+
+    The index product is computed in float32, NOT float64: the device path
+    multiplies in f32 (jnp x32 default), and f64-vs-f32 rounding disagrees on
+    1-2 rows for some real grid/image pairs (e.g. 8 -> 282)."""
     H_in, W_in = segmap.shape
     H_out, W_out = image_hw
-    iy = np.minimum((np.arange(H_out) * (H_in / H_out)).astype(np.int64), H_in - 1)
-    ix = np.minimum((np.arange(W_out) * (W_in / W_out)).astype(np.int64), W_in - 1)
+    iy = np.floor(np.arange(H_out, dtype=np.float32)
+                  * np.float32(H_in / H_out)).astype(np.int64)
+    ix = np.floor(np.arange(W_out, dtype=np.float32)
+                  * np.float32(W_in / W_out)).astype(np.int64)
+    iy = np.minimum(iy, H_in - 1)
+    ix = np.minimum(ix, W_in - 1)
     return segmap.astype(np.int32)[iy[:, None], ix[None, :]]
 
 
@@ -289,16 +297,18 @@ def generate_predictions(state: "TrainState", dataset, output_dir,
     from ..utils.serialization import save_segmap_png
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
 
-    def save(i, pred):
-        _, _, target, stem = dataset[i]
+    def save(i, pred, item=None):
+        _, _, target, stem = item if item is not None else dataset[i]
         save_segmap_png(pred.astype(np.uint8), out / "pred" / f"{stem}.png")
         if target is not None:
             save_segmap_png(np.asarray(target, np.uint8), out / "gt" / f"{stem}.png")
 
     if bucketed:
-        for i, pred in bucketed_predictions(state, dataset, list(range(n)),
-                                            batch_size=batch_size):
-            save(i, pred)
+        for i, pred, item in bucketed_predictions(state, dataset,
+                                                  list(range(n)),
+                                                  batch_size=batch_size,
+                                                  yield_items=True):
+            save(i, pred, item)
     else:
         for i in range(n):
             image, _, _, _ = dataset[i]
@@ -533,19 +543,34 @@ def _pos_for_bucket(pos_embed: np.ndarray, vh: int, vw: int, hp: int, wp: int,
 
 
 def bucketed_predictions(state: TrainState, dataset, indices,
-                         patch_size: int = 16, batch_size: int = 8):
-    """Yield (dataset_index, pred (H, W) int32) for each index, computed through
-    <= 2 padded shape buckets (O(buckets) compiled programs instead of one per
-    image shape). Requires a ViT backbone (pos_embed in params)."""
+                         patch_size: int = 16, batch_size: int = 8,
+                         yield_items: bool = False):
+    """Yield (dataset_index, pred (H, W) int32) for each index — or
+    (index, pred, dataset_item) with yield_items=True so callers that need
+    the target/stem don't pay a second full decode per image — computed
+    through <= 2 padded shape buckets (O(buckets) compiled programs instead
+    of one per image shape). Requires a ViT backbone (pos_embed in params).
+
+    The shape pass reads only PIL headers when the dataset exposes image
+    paths (`.images`); each image is fully decoded exactly once, during
+    batch assembly."""
     P = patch_size
     backbone = state.params["backbone"]
     if "pos_embed" not in backbone:
         raise ValueError("bucketed evaluation requires a ViT backbone")
     pos_embed = np.asarray(backbone["pos_embed"], np.float32)
     shapes = {}
-    for i in indices:
-        image, _, _, _ = dataset[i]
-        shapes[i] = ((image.shape[0] // P) * P, (image.shape[1] // P) * P)
+    paths = getattr(dataset, "images", None)
+    if paths is not None:
+        from PIL import Image as PILImage
+        for i in indices:
+            with PILImage.open(paths[i]) as im:
+                Wd, Hd = im.size
+            shapes[i] = ((Hd // P) * P, (Wd // P) * P)
+    else:
+        for i in indices:
+            image, _, _, _ = dataset[i]
+            shapes[i] = ((image.shape[0] // P) * P, (image.shape[1] // P) * P)
     buckets = _eval_buckets(list(shapes.values()))
     assign: dict = {b: [] for b in buckets}
     for i, s in shapes.items():
@@ -564,8 +589,14 @@ def bucketed_predictions(state: TrainState, dataset, indices,
             vhw = np.zeros((batch_size, 2), np.int32)
             pos = np.zeros((batch_size, 1 + hp * wp, pos_embed.shape[-1]),
                            np.float32)
+            items = {}
             for bi, i in enumerate(padded_chunk):
-                image, _, _, _ = dataset[i]
+                item = items.get(i)
+                if item is None:
+                    item = dataset[i]
+                    if bi < n_real:
+                        items[i] = item
+                image = item[0]
                 H, W = shapes[i]
                 ims[bi, :H, :W] = normalize_image(image[:H, :W])
                 vhw[bi] = (H, W)
@@ -576,7 +607,10 @@ def bucketed_predictions(state: TrainState, dataset, indices,
                 patch_size=P))
             for bi, i in enumerate(chunk[:n_real]):
                 H, W = shapes[i]
-                yield i, preds[bi, :H, :W]
+                if yield_items:
+                    yield i, preds[bi, :H, :W], items[i]
+                else:
+                    yield i, preds[bi, :H, :W]
 
 
 def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSES,
@@ -594,8 +628,7 @@ def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSE
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
     preds_all, gts_all = [], []
 
-    def accumulate(i, pred):
-        _, _, target, _ = dataset[i]
+    def accumulate(i, pred, target):
         Hp, Wp = pred.shape
         target_c = target[:Hp, :Wp]
         valid = target_c != ignore_index
@@ -603,10 +636,15 @@ def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSE
         gts_all.append(target_c[valid])
 
     if bucketed:
-        indices = [i for i in range(n) if dataset[i][2] is not None]
-        for i, pred in bucketed_predictions(state, dataset, indices,
-                                            patch_size=P, batch_size=batch_size):
-            accumulate(i, pred)
+        tpaths = getattr(dataset, "targets", None)
+        if tpaths is not None:
+            indices = [i for i in range(n) if tpaths[i].is_file()]
+        else:
+            indices = [i for i in range(n) if dataset[i][2] is not None]
+        for i, pred, item in bucketed_predictions(
+                state, dataset, indices, patch_size=P, batch_size=batch_size,
+                yield_items=True):
+            accumulate(i, pred, item[2])
     else:
         for i in range(n):
             image, _, target, _ = dataset[i]
@@ -617,7 +655,7 @@ def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSE
             H, W = x.shape[1:3]
             Hp, Wp = (H // P) * P, (W // P) * P
             pred = np.asarray(eval_step(state, jnp.asarray(x[:, :Hp, :Wp])))[0]
-            accumulate(i, pred)
+            accumulate(i, pred, target)
     flat_preds = np.concatenate(preds_all)
     flat_targets = np.concatenate(gts_all)
     jac, miou = M.per_class_jaccard(jnp.asarray(flat_preds),
@@ -663,11 +701,17 @@ def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
     template = _ckpt_tree(state)
     try:
         restored = ckptr.restore(path, template)
-    except Exception:
+    except Exception as e:
         # EMA presence may differ between the checkpoint and the current
         # config (e.g. resuming a use_ema run from a no-EMA checkpoint) —
         # retry with the template flipped rather than failing on an orbax
-        # tree-structure mismatch.
+        # tree-structure mismatch. Only that mismatch is retried: any other
+        # failure (corrupt/missing checkpoint, shape/dtype change) re-raises
+        # so the real error stays diagnosable.
+        msg = str(e).lower()
+        if not any(w in msg for w in ("structure", "ema_params", "tree",
+                                      "custom node type")):
+            raise
         if "ema_params" in template:
             template = {k: v for k, v in template.items() if k != "ema_params"}
             restored = ckptr.restore(path, template)

@@ -9,6 +9,7 @@ brute-force bilateral filter.
 import numpy as np
 import jax.numpy as jnp
 
+from crf_oracle import blobby_case, exact_mean_field
 from deep_spectral_tpu.ops.crf import (
     bilateral_filter, dense_crf, gaussian_filter_2d,
 )
@@ -127,62 +128,9 @@ def test_crf_snaps_to_color_edge(rng):
     assert (out != true_seg).mean() < (seg != true_seg).mean()
 
 
-# ------------------------------------------------ exact mean-field oracle
-
-def _exact_mean_field(image, segmap, num_classes, params, gt_prob=0.7):
-    """Exact O(N^2) Krahenbuhl dense mean field: explicit dense bilateral +
-    Gaussian kernels, self-interaction removed, unnormalized kernel sums,
-    Potts compatibility — the formulation `dense_crf` approximates with the
-    bilateral grid (SimpleCRF wraps the same algorithm in C++;
-    reference call: extract/extract.py:688-710)."""
-    w1, alpha, beta, w2, gamma, it = params
-    H, W = segmap.shape
-    N, C = H * W, num_classes
-    yy, xx = np.mgrid[:H, :W]
-    pos = np.stack([yy.ravel(), xx.ravel()], 1).astype(np.float64)
-    col = image.reshape(N, 3).astype(np.float64)
-    dp2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
-    dc2 = ((col[:, None] - col[None]) ** 2).sum(-1)
-    k_bi = np.exp(-dp2 / (2 * alpha**2) - dc2 / (2 * beta**2))
-    k_sp = np.exp(-dp2 / (2 * gamma**2))
-    np.fill_diagonal(k_bi, 0.0)
-    np.fill_diagonal(k_sp, 0.0)
-    onehot = np.eye(C)[segmap.reshape(-1)]
-    probs = onehot * gt_prob + (1 - onehot) * (1 - gt_prob) / max(C - 1, 1)
-    unary = -np.log(np.clip(probs, 1e-8, 1.0))
-
-    def softmax(x):
-        e = np.exp(x - x.max(-1, keepdims=True))
-        return e / e.sum(-1, keepdims=True)
-
-    Q = softmax(-unary)
-    for _ in range(int(it)):
-        msg = w1 * (k_bi @ Q) + w2 * (k_sp @ Q)
-        penalty = msg.sum(-1, keepdims=True) - msg
-        Q = softmax(-unary - penalty)
-    return np.argmax(Q, -1).reshape(H, W)
-
-
-def _blobby_case(rng, H, W, n_labels=3, patch=8):
-    """Blobby image + coarse patch-level misaligned segmap (the pipeline's
-    nearest-upsampled patch labels)."""
-    img = np.zeros((H, W, 3), np.float32)
-    labels = np.zeros((H, W), np.int32)
-    palette = rng.uniform(30, 225, (n_labels, 3))
-    for lab in range(1, n_labels):
-        cy, cx = rng.integers(0, H), rng.integers(0, W)
-        r = rng.integers(min(H, W) // 5, min(H, W) // 2)
-        yy, xx = np.mgrid[:H, :W]
-        labels[(yy - cy) ** 2 + (xx - cx) ** 2 < r * r] = lab
-    for lab in range(n_labels):
-        img[labels == lab] = palette[lab]
-    img = np.clip(img + rng.normal(0, 10, img.shape), 0, 255).astype(np.float32)
-    seg = labels[patch // 2::patch, patch // 2::patch]
-    seg_up = np.repeat(np.repeat(seg, patch, 0), patch, 1)[:H, :W]
-    return img, seg_up
-
-
-def test_crf_matches_exact_mean_field_oracle(rng):
+# Exact mean-field oracle + case generator shared with the calibration
+# scripts: tests/crf_oracle.py (single source of truth).
+def test_crf_matchesexact_mean_field_oracle(rng):
     """Grid CRF vs the exact dense oracle: >= 95% label agreement across
     images and parameter settings (VERDICT round-1 item #2; the calibrated
     GRID_SELF_GAIN in ops/crf.py was chosen by sweeping agreement with this
@@ -193,9 +141,9 @@ def test_crf_matches_exact_mean_field_oracle(rng):
         (5.0, 40.0, 20.0, 3.0, 3.0, 5.0),
     ]
     for trial in range(2):
-        img, seg = _blobby_case(np.random.default_rng(trial), 56, 56)
+        img, seg = blobby_case(np.random.default_rng(trial), 56, 56)
         for params in param_sets:
-            want = _exact_mean_field(img, seg, 3, params)
+            want = exact_mean_field(img, seg, 3, params)
             got = np.asarray(dense_crf(jnp.asarray(img), jnp.asarray(seg),
                                        num_classes=3, params=params))
             agree = np.mean(got == want)

@@ -241,7 +241,12 @@ def test_upsample_pseudolabel_matches_resize_nearest(rng):
                                          ((24, 32), (384, 512)),
                                          ((7, 9), (100, 130)),
                                          ((16, 16), (16, 16)),
-                                         ((50, 50), (30, 20))]:
+                                         ((50, 50), (30, 20)),
+                                         # f64-vs-f32 index rounding traps:
+                                         # host must use f32 like the device
+                                         ((8, 3), (282, 123)),
+                                         ((3, 8), (123, 282)),
+                                         ((13, 11), (500, 437))]:
         seg = rng.integers(0, 21, (h_in, w_in)).astype(np.uint8)
         got = SS.upsample_pseudolabel(seg, (h_out, w_out))
         ref = np.array(resize_nearest(jnp.asarray(seg.astype(np.int32)),
