@@ -34,16 +34,15 @@ BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
 # ViT-S/16 @ 480^2: T = 901 tokens (CLS incl.), D = 384, 12 pre-norm blocks:
 #   per block 24*T*D^2 (qkv+proj+mlp matmuls) + 4*T^2*D (attention scores+mix)
 #   plus the stride-16 patch-embed conv.
-# Eigs: affinity matmul + LOBPCG with the tuned block K+3 (ops/eigen.py) and
-# ~30 effective iterations (the tol early-exit converges <30 on image graphs;
-# the cap is 60 but idle trips do no matvec work). 3-column basis matvecs
-# x ~3 matmul-equivalents per iteration. Ignores softmax/norm/elementwise
-# FLOPs (understates) but counts the iteration budget honestly (a stale
-# block-13/60-iter model here overstated FLOPS_PER_IMAGE ~12%).
+# Eigs: affinity matmul + the Chebyshev-filtered subspace solver (the auto
+# default, ops/eigen.py): 3 window power steps + 4 outer x degree-10 filter
+# chains = ~43 matvecs of the (N, N) whitened operator against an m = K+3
+# column block, each matvec ~2 matmuls. Ignores the ~9 small (3m, 3m) RR
+# eighs and elementwise work (sub-1% of FLOPs).
 _T, _D, _DEPTH, _N = 901, 384, 12, 900
-_EIG_ITERS, _EIG_BLOCK = 30, K + 3
+_EIG_MATVECS, _EIG_BLOCK = 43, K + 3
 VIT_FLOPS = _DEPTH * (24 * _T * _D**2 + 4 * _T**2 * _D) + 2 * _N * _D * (16 * 16 * 3)
-EIG_FLOPS = 2 * _N**2 * _D + _EIG_ITERS * 3 * 2 * _N**2 * _EIG_BLOCK * 3
+EIG_FLOPS = 2 * _N**2 * _D + _EIG_MATVECS * 2 * 2 * _N**2 * _EIG_BLOCK
 FLOPS_PER_IMAGE = VIT_FLOPS + EIG_FLOPS
 V5E_PEAK_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s
 
