@@ -121,12 +121,18 @@ def laplacian_eigs(
 
     m_block = K + lobpcg_block_extra
     if solver == "auto":
-        # chebyshev for large graphs: 13.5 vs 36.6 ms per b64 N=900 K=5 batch
-        # (2.7x over lobpcg; ~9 small-eigh custom-calls instead of ~90),
-        # >= 0.9997 worst subspace cosine vs exact eigh across K in {5, 20},
-        # N in {900, 3600} on image-structured graphs. lobpcg stays available
-        # as the robust iterative fallback for arbitrary spectra.
-        solver = "chebyshev" if (N >= 4 * m_block + 1 and N >= 512) else "eigh"
+        # Regime split measured on v5e (device-time harness):
+        #   N in [512, 2048]: chebyshev — the solve is dominated by lobpcg's
+        #     per-iteration RR/SVQB batched small-eigh custom-calls, which
+        #     chebyshev replaces with pure matvec chains (13.5 vs 36.6 ms per
+        #     b64 N=900 K=5 batch, 2.7x; >= 0.9997 subspace cosine).
+        #   N > 2048: lobpcg — matvecs dominate and its tol early-exit adapts
+        #     the iteration count, while chebyshev's fixed 43-matvec budget
+        #     costs more (104 vs 147 img/s at the vits8 b16 N=3600 composite).
+        if N >= 4 * m_block + 1 and N >= 512:
+            solver = "chebyshev" if N <= 2048 else "lobpcg"
+        else:
+            solver = "eigh"
 
     if solver == "lobpcg":
         iters = lobpcg_iters if lobpcg_iters is not None else (60 if N <= 2048 else 100)
