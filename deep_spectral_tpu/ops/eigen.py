@@ -30,6 +30,14 @@ import jax.numpy as jnp
 
 from .affinity import degree_vector, feature_affinity, l2_normalize
 
+# Convergence guard for the Chebyshev subspace solver: max whitened residual
+# ||A x_k - theta_k x_k|| (unit x_k, ||A|| <= 2) above which the result is
+# rejected and the exact dense path used instead. Calibrated on CPU oracles:
+# converged image-structured graphs land at 1e-5..1.7e-3; known failure modes
+# (clustered spectra 2.4e-3, color-fused lambda=10 7e-3, tiny-gap 1.4e-2,
+# lam_K above the filter window -> NaN) all exceed it.
+CHEB_RESIDUAL_TOL = 2e-3
+
 
 def sign_fix(eigenvectors: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """Resolve eigenvector sign ambiguity the way the reference does: flip a vector
@@ -60,6 +68,27 @@ def _pad_aware_eigh(A: jax.Array, mask: Optional[jax.Array]) -> Tuple[jax.Array,
     return evals, evecs
 
 
+def _resolve_solver(N: int, m_block: int, lapnorm: bool, solver: str) -> str:
+    """Static 'auto' solver selection (shapes are static under jit).
+
+    Regime split measured on v5e (device-time harness):
+      N in [512, 2048], lapnorm: chebyshev — the solve is dominated by
+        lobpcg's per-iteration RR/SVQB batched small-eigh custom-calls, which
+        chebyshev replaces with pure matvec chains (13.5 vs 36.6 ms per
+        b64 N=900 K=5 batch, 2.7x; >= 0.9997 subspace cosine).
+      N > 2048 (or lapnorm=False, which chebyshev does not support): lobpcg —
+        matvecs dominate and its tol early-exit adapts the iteration count,
+        while chebyshev's fixed 43-matvec budget costs more (104 vs 147 img/s
+        at the vits8 b16 N=3600 composite).
+      small N: dense eigh.
+    """
+    if solver != "auto":
+        return solver
+    if N >= 4 * m_block + 1 and N >= 512:
+        return "chebyshev" if (lapnorm and N <= 2048) else "lobpcg"
+    return "eigh"
+
+
 def laplacian_eigs(
     W: jax.Array,
     K: int,
@@ -71,7 +100,12 @@ def laplacian_eigs(
     lobpcg_iters: Optional[int] = None,
     lobpcg_tol: Optional[float] = None,
     lobpcg_block_extra: int = 3,
-) -> Tuple[jax.Array, jax.Array]:
+    cheb_outer: int = 4,
+    cheb_degree: int = 10,
+    cheb_guard: bool = True,
+    matvec_precision: str = "bf16",
+    return_residual: bool = False,
+):
     """Smallest-K eigenpairs of the graph Laplacian of affinity W.
 
     lapnorm=True : generalized problem (D - W) x = lam D x  — the reference default
@@ -81,11 +115,35 @@ def laplacian_eigs(
     solver: 'eigh' — exact full dense decomposition (bit-stable, the parity
             gold path); 'lobpcg' — block LOBPCG on the shifted operator,
             ~25x faster at N ~ 1000 with >0.999 eigenvector cosine on
-            image-structured graphs; 'chebyshev' — opt-in Chebyshev-filtered
+            image-structured graphs; 'chebyshev' — Chebyshev-filtered
             subspace iteration (~9 small-eigh calls vs LOBPCG's ~90; see
-            _chebyshev_laplacian); 'auto' — chebyshev for graphs large
-            enough for the block iteration (N >= 4*(K + extra) and
-            N >= 512), eigh otherwise.
+            _chebyshev_laplacian), residual-guarded (see cheb_guard);
+            'auto' — chebyshev for lapnorm graphs with N in [512, 2048]
+            (and N >= 4*(K + extra)), lobpcg for larger graphs or
+            lapnorm=False, eigh for small graphs (see _resolve_solver).
+    cheb_guard: the chebyshev solver ends with a cheap residual check (one
+            extra block matvec, max_k ||A x_k - theta_k x_k|| on the whitened
+            operator). When cheb_guard=True (default) and the residual
+            exceeds CHEB_RESIDUAL_TOL (or is non-finite), a `lax.cond`
+            falls back to the exact dense eigh path in the same program —
+            ARPACK-style convergence-or-fail semantics (reference:
+            extract/extract.py:227-234). NOTE: under `vmap` a lax.cond
+            executes both branches for the whole batch; batched callers
+            should instead pass return_residual=True and do the fallback
+            per-image on the host (spectral_decompose_batched /
+            pipeline extract_eigs do this).
+    return_residual: return (evals, vectors, residual) where residual is the
+            chebyshev convergence residual described above (0.0 for the
+            other solvers, which converge by construction / by lobpcg_tol);
+            implies cheb_guard is skipped — the caller owns the fallback.
+    cheb_outer / cheb_degree: chebyshev filter budget (outer iterations x
+            polynomial degree); defaults validated in tests. Exposed mainly
+            so tests can force under-convergence to exercise the guard.
+    matvec_precision: 'bf16' (default) runs the chebyshev filter's matvec
+            chains with a bf16 operator and f32 accumulation — the MXU's
+            native mode; Rayleigh-Ritz, the window estimate and the residual
+            check stay f32, and the guard rejects any under-converged
+            result. 'f32' forces full-precision matvecs.
     lobpcg_iters: max LOBPCG iterations. None = auto by graph size: 60 for
             N <= 2048, 100 above (the bottom-of-spectrum eigengap shrinks as
             the graph grows, so larger graphs need a deeper Krylov space;
@@ -120,31 +178,41 @@ def laplacian_eigs(
     d = degree_vector(W)
 
     m_block = K + lobpcg_block_extra
-    if solver == "auto":
-        # Regime split measured on v5e (device-time harness):
-        #   N in [512, 2048]: chebyshev — the solve is dominated by lobpcg's
-        #     per-iteration RR/SVQB batched small-eigh custom-calls, which
-        #     chebyshev replaces with pure matvec chains (13.5 vs 36.6 ms per
-        #     b64 N=900 K=5 batch, 2.7x; >= 0.9997 subspace cosine).
-        #   N > 2048: lobpcg — matvecs dominate and its tol early-exit adapts
-        #     the iteration count, while chebyshev's fixed 43-matvec budget
-        #     costs more (104 vs 147 img/s at the vits8 b16 N=3600 composite).
-        if N >= 4 * m_block + 1 and N >= 512:
-            solver = "chebyshev" if N <= 2048 else "lobpcg"
-        else:
-            solver = "eigh"
+    solver = _resolve_solver(N, m_block, lapnorm, solver)
 
     if solver == "lobpcg":
         iters = lobpcg_iters if lobpcg_iters is not None else (60 if N <= 2048 else 100)
-        return _lobpcg_laplacian(W, d, K, m_block, iters, lobpcg_tol, lapnorm,
-                                 mask, apply_sign_fix)
+        out = _lobpcg_laplacian(W, d, K, m_block, iters, lobpcg_tol, lapnorm,
+                                mask, apply_sign_fix)
+        return (*out, jnp.float32(0.0)) if return_residual else out
 
     if solver == "chebyshev":
         if not lapnorm:
             raise ValueError("solver='chebyshev' supports lapnorm=True only")
-        return _chebyshev_laplacian(W, d, K, m_block, 4, 10, mask,
-                                    apply_sign_fix)
+        evals, vectors, res = _chebyshev_laplacian(
+            W, d, K, m_block, cheb_outer, cheb_degree, mask, apply_sign_fix,
+            matvec_dtype=(jnp.float32 if matvec_precision == "f32"
+                          else jnp.bfloat16))
+        if return_residual:
+            return evals, vectors, res
+        if not cheb_guard:
+            return evals, vectors
+        # In-program convergence guard: reject under-converged/non-finite
+        # results and recompute with the exact dense path. `lax.cond` is lazy
+        # for unbatched calls (localization drivers etc.); batched callers
+        # use return_residual + host-side per-image fallback instead.
+        dense = partial(_dense_laplacian, W, d, K, lapnorm, mask,
+                        apply_sign_fix)
+        ok = res <= CHEB_RESIDUAL_TOL  # False for NaN residuals too
+        return jax.lax.cond(ok, lambda: (evals, vectors), dense)
 
+    out = _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix)
+    return (*out, jnp.float32(0.0)) if return_residual else out
+
+
+def _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix):
+    """Exact dense eigh path: whitened operator when lapnorm, else D - W."""
+    N = W.shape[-1]
     if lapnorm:
         inv_sqrt_d = jax.lax.rsqrt(d)
         A = -(inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :])
@@ -208,9 +276,10 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
 
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
-                         apply_sign_fix):
+                         apply_sign_fix, matvec_dtype=jnp.bfloat16):
     """Chebyshev-filtered subspace iteration for the smallest-K eigenpairs of
-    the WHITENED Laplacian (lapnorm=True only) — opt-in `solver='chebyshev'`.
+    the WHITENED Laplacian (lapnorm=True only) — the 'auto' default for
+    lapnorm graphs with N in [512, 2048], residual-guarded (see below).
 
     Motivation (round-2 profile): jax's lobpcg_standard spends ~91% of its
     device time in per-iteration Rayleigh-Ritz/SVQB batched small-eigh
@@ -223,16 +292,39 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
 
     Validated >= 0.99997 worst subspace cosine vs exact eigh at N in
     {900, 3600} on image-structured graphs (tests/test_solver_chebyshev.py).
-    Caveat: if the true lam_K exceeds the clipped window upper bound (1.8),
-    wanted eigenvalues would be damped — not reachable on image affinity
-    graphs (lam_K << 1), which is why this stays opt-in rather than 'auto'.
+    Failure modes exist — if the true lam_K exceeds the clipped window upper
+    bound (1.8) the filter damps (or numerically blows up) wanted pairs, and
+    clustered/tiny-gap spectra can under-converge within the fixed budget —
+    so the solve ends with a residual check (one extra block matvec):
+    returns (evals, vectors, residual) where residual = max_k
+    ||A x_k - theta_k x_k|| over the wanted K whitened unit vectors
+    (non-finite -> +inf). Callers reject residual > CHEB_RESIDUAL_TOL and
+    fall back to the exact dense path (laplacian_eigs cheb_guard /
+    pipeline extract_eigs host-side retry) — ARPACK-style converge-or-fail
+    semantics (tests/test_solver_chebyshev.py adversarial cases).
     """
     N = W.shape[-1]
     inv_sqrt_d = jax.lax.rsqrt(d)
 
-    def A_mv(X):  # I - D^-1/2 W D^-1/2
+    def A_mv(X):  # I - D^-1/2 W D^-1/2, exact f32 (RR + residual check)
         return X - inv_sqrt_d[:, None] * jnp.dot(
             W, inv_sqrt_d[:, None] * X, preferred_element_type=jnp.float32)
+
+    # Filter matvecs in bf16 with f32 accumulation: the MXU's native mode
+    # (f32 matmuls decompose into multiple bf16 passes, ~2x+ slower). The
+    # whitened operator S = D^-1/2 W D^-1/2 is materialized once in bf16 so
+    # the per-matvec row/col scalings don't run at reduced precision.
+    # Rayleigh-Ritz, the window estimate and the final residual check stay
+    # f32 — a bf16-degraded filter only slows convergence, and the residual
+    # guard rejects anything that didn't converge (CHEB_RESIDUAL_TOL).
+    if matvec_dtype == jnp.float32:
+        S_fast = inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]
+    else:
+        S_fast = (inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]).astype(matvec_dtype)
+
+    def A_mv_fast(X):
+        return X - jnp.dot(S_fast, X.astype(S_fast.dtype),
+                           preferred_element_type=jnp.float32)
 
     X = jax.random.normal(jax.random.PRNGKey(0), (N, m_block), jnp.float32)
     if mask is not None:
@@ -251,7 +343,7 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     # Rayleigh quotients overestimate the true smallest eigenvalues, so
     # 1.5x theta_K safely contains the wanted window.
     for _ in range(3):
-        X = 2.0 * X - A_mv(X)
+        X = 2.0 * X - A_mv_fast(X)
         X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
     X, theta = rr(X)
     lam_cut = jnp.clip(theta[K - 1] * 1.5 + 1e-3, 1e-3, 1.8)
@@ -261,9 +353,9 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
 
     def filt(X):
         T0 = X
-        T1 = (A_mv(X) - c * X) / e
+        T1 = (A_mv_fast(X) - c * X) / e
         for _ in range(degree - 1):
-            T2 = 2.0 * (A_mv(T1) - c * T1) / e - T0
+            T2 = 2.0 * (A_mv_fast(T1) - c * T1) / e - T0
             T0, T1 = T1, T2
         return T1
 
@@ -271,13 +363,20 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         X, theta = rr(filt(X))
 
     evals = theta[:K]
-    V = inv_sqrt_d[:, None] * X[:, :K]   # unwhiten: x^T D x = 1 (ARPACK M-norm)
+    Xk = X[:, :K]
+    # Convergence residual on the whitened operator (one extra block matvec):
+    # Xk columns are orthonormal post-RR and ||A|| <= 2, so the residual is
+    # scale-free. Non-finite (filter blow-up when lam_K > window) -> +inf.
+    R = A_mv(Xk) - Xk * evals[None, :]
+    res = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)))
+    res = jnp.where(jnp.isfinite(res), res, jnp.inf)
+    V = inv_sqrt_d[:, None] * Xk         # unwhiten: x^T D x = 1 (ARPACK M-norm)
     vectors = V.T
     if mask is not None:
         vectors = vectors * mask.astype(vectors.dtype)[None, :]
     if apply_sign_fix:
         vectors = sign_fix(vectors, mask)
-    return evals, vectors
+    return evals, vectors, res
 
 
 def affinity_eigs(
@@ -342,7 +441,8 @@ def spectral_decompose(
     image_color_lambda: float = 0.0,
     mask: Optional[jax.Array] = None,
     solver: str = "auto",
-) -> Tuple[jax.Array, jax.Array]:
+    return_residual: bool = False,
+):
     """Fused end-to-end spectral decomposition of one image's patch features.
 
     This is the TPU-native equivalent of the whole `_extract_eig` hot path
@@ -351,7 +451,9 @@ def spectral_decompose(
     round-trips. Batch it with `vmap` over bucketed images.
 
     feats: (N, D). color_W: optional precomputed (N, N) color affinity.
-    Returns (eigenvalues (K,), eigenvectors (K, N)).
+    Returns (eigenvalues (K,), eigenvectors (K, N)); with return_residual,
+    also the chebyshev convergence residual (0.0 for other solvers — see
+    laplacian_eigs) so batched callers can do per-image fallback.
     """
     if which_matrix in ("laplacian", "matting_laplacian"):
         W = feature_affinity(
@@ -360,21 +462,25 @@ def spectral_decompose(
         )
         if color_W is not None and image_color_lambda > 0:
             W = W + color_W.astype(W.dtype) * image_color_lambda
-        return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver)
+        return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver,
+                              return_residual=return_residual)
     if which_matrix in ("affinity", "affinity_torch"):
         W = feature_affinity(
             feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
             max_normalize=False, mask=mask,
         )
-        return affinity_eigs(W, K, mask=mask)
-    if which_matrix == "affinity_svd":
+        out = affinity_eigs(W, K, mask=mask)
+    elif which_matrix == "affinity_svd":
         f = l2_normalize(feats) if normalize else feats
-        return affinity_svd_eigs(f, K, mask=mask)
-    raise ValueError(f"unknown which_matrix: {which_matrix}")
+        out = affinity_svd_eigs(f, K, mask=mask)
+    else:
+        raise ValueError(f"unknown which_matrix: {which_matrix}")
+    return (*out, jnp.float32(0.0)) if return_residual else out
 
 
 @partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
-                                   "lapnorm", "image_color_lambda", "solver"))
+                                   "lapnorm", "image_color_lambda", "solver",
+                                   "return_residual"))
 def spectral_decompose_batched(
     feats: jax.Array,
     masks: Optional[jax.Array] = None,
@@ -387,18 +493,43 @@ def spectral_decompose_batched(
     lapnorm: bool = True,
     image_color_lambda: float = 0.0,
     solver: str = "auto",
-) -> Tuple[jax.Array, jax.Array]:
-    """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N)."""
-    def one(f, m, cw):
+    return_residual: bool = False,
+):
+    """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).
+
+    With return_residual, also returns per-image (B,) chebyshev convergence
+    residuals (0.0 for other solvers). Under vmap an in-program lax.cond
+    guard would execute BOTH branches for the whole batch, so the batched
+    path always defers the guard: callers check the residuals host-side and
+    re-solve offenders with solver='eigh' (pipeline extract_eigs does this,
+    merged with its non-finite retry).
+    """
+    def one(f, m, cw, slv):
         return spectral_decompose(
             f, K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             color_W=cw, image_color_lambda=image_color_lambda, mask=m,
-            solver=solver,
+            solver=slv, return_residual=True,
         )
-    B = feats.shape[0]
     if masks is None:
         masks = jnp.ones(feats.shape[:2], dtype=bool)
-    if color_W is None:
-        return jax.vmap(lambda f, m: one(f, m, None))(feats, masks)
-    return jax.vmap(one)(feats, masks, color_W)
+
+    def solve(slv):
+        if color_W is None:
+            return jax.vmap(lambda f, m: one(f, m, None, slv))(feats, masks)
+        return jax.vmap(lambda f, m, cw: one(f, m, cw, slv))(feats, masks, color_W)
+
+    evals, vecs, res = solve(solver)
+    if return_residual:
+        return evals, vecs, res
+    eff = _resolve_solver(feats.shape[1], K + 3, lapnorm, solver)
+    if which_matrix in ("laplacian", "matting_laplacian") and eff == "chebyshev":
+        # Batch-level guard with a SCALAR predicate so the cond stays a real
+        # branch (a per-image predicate under vmap would run both branches
+        # unconditionally): any under-converged image re-solves the whole
+        # batch with exact eigh. Rare path; chebyshev is only auto-selected
+        # at N <= 2048 where dense eigh is affordable.
+        ok = jnp.max(res) <= CHEB_RESIDUAL_TOL
+        return jax.lax.cond(ok, lambda: (evals, vecs),
+                            lambda: solve("eigh")[:2])
+    return evals, vecs

@@ -41,7 +41,7 @@ from ..ops import (
 )
 from ..ops.affinity import knn_affinity, rw_affinity
 from ..ops.crf import dense_crf
-from ..ops.eigen import spectral_decompose_batched
+from ..ops.eigen import CHEB_RESIDUAL_TOL, spectral_decompose_batched
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..utils import bucketing
 from ..utils.image_io import load_image_rgb, load_image_resized, normalize_imagenet, read_image_list
@@ -60,6 +60,23 @@ def make_output_dir(output_dir, check_if_empty: bool = True) -> None:
     if check_if_empty and any(out.iterdir()) and sys.stdin.isatty():
         if input("Output dir already contains files. Continue? (y/n) >> ") != "y":
             sys.exit()
+
+
+def _resolve_image_file(images_root, image_id: str) -> Path:
+    """Resolve an image id (no extension) to the actual file on disk — used by
+    stages whose inputs carry only ids (bbox dicts, reference schema keeps
+    just 'id', extract/extract.py:529-532). The reference hardcodes `.jpg`;
+    we accept any extension."""
+    root = Path(images_root)
+    for ext in (".jpg", ".jpeg", ".png", ".JPEG", ".JPG", ".PNG", ".bmp",
+                ".webp"):
+        p = root / f"{image_id}{ext}"
+        if p.is_file():
+            return p
+    matches = sorted(root.glob(f"{image_id}.*"))
+    if matches:
+        return matches[0]
+    raise FileNotFoundError(f"no image named '{image_id}.*' under {root}")
 
 
 def get_paired_input_files(path1, path2) -> list:
@@ -234,7 +251,9 @@ def extract_eigs(
     pending = []
     for f in sorted(Path(features_dir).iterdir()):
         d = load_pth(f)
-        image_id = d["file"][:-4]
+        # Derive the id from the listed filename with any extension
+        # (reference pairs actual listed names, extract/extract.py:199-204).
+        image_id = Path(d["file"]).stem
         out_file = Path(output_dir) / f"{image_id}.pth"
         if out_file.is_file():
             continue
@@ -270,8 +289,10 @@ def extract_eigs(
             feats[i] = grid.reshape(-1, D)
             extents[i] = (h_lr, w_lr)
             if imgs is not None:
+                # Load the actual listed file (any extension), not a
+                # hardcoded .jpg (reference: extract/extract.py:199-204).
                 imgs[i, :h_lr, :w_lr] = load_image_resized(
-                    Path(images_root) / f"{image_id}.jpg", (w_lr, h_lr))
+                    Path(images_root) / d["file"], (w_lr, h_lr))
             metas.append((image_id, out_file, h_lr, w_lr))
         masks = bucketing.grid_masks(extents, (bucket.h, bucket.w))
         return feats, imgs, masks, metas
@@ -284,18 +305,29 @@ def extract_eigs(
                 lambda im, m: (knn_affinity if which_color_matrix == "knn"
                                else rw_affinity)(im, mask=m))
             color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
-        evals, evecs = spectral_decompose_batched(
+        evals, evecs, res = spectral_decompose_batched(
             jnp.asarray(feats), jnp.asarray(masks), color_W,
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
+            return_residual=True,
         )
-        evals, evecs = np.asarray(evals), np.asarray(evecs)
+        evals, evecs, res = np.asarray(evals), np.asarray(evecs), np.asarray(res)
         # Solver fallback, mirroring the reference's ARPACK shift-invert ->
         # plain-SM retry (extract/extract.py:227-234): if the fast iterative
-        # solver produced non-finite values, redo the batch with exact eigh.
+        # solver produced non-finite values OR the chebyshev convergence
+        # residual rejects any image in the batch (clustered spectra,
+        # lam_K beyond the filter window — see ops/eigen.CHEB_RESIDUAL_TOL),
+        # redo the batch with exact eigh. Host-side check keeps the eigh
+        # program compile-lazy (only built if a batch ever trips it).
         if solver != "eigh" and not (np.isfinite(evals).all()
-                                     and np.isfinite(evecs).all()):
+                                     and np.isfinite(evecs).all()
+                                     and (res <= CHEB_RESIDUAL_TOL).all()):
+            n_bad = int((~(np.isfinite(evals).reshape(len(res), -1).all(1)
+                           & np.isfinite(evecs).reshape(len(res), -1).all(1)
+                           & (res <= CHEB_RESIDUAL_TOL))).sum())
+            print(f"eigs: solver under-converged on {n_bad}/{len(res)} "
+                  f"image(s) in a batch; re-solving batch with exact eigh")
             evals, evecs = spectral_decompose_batched(
                 jnp.asarray(feats), jnp.asarray(masks), color_W,
                 K=K, which_matrix=which_matrix, normalize=normalize,
@@ -554,7 +586,7 @@ def extract_bbox_features(
     # Gather all crops with back-references.
     crops = []  # (img_idx, box_idx, crop HWC normalized)
     for i, bd in enumerate(_progress(bbox_list, "bbox crops")):
-        rgb = load_image_rgb(Path(images_root) / f"{bd['id']}.jpg")
+        rgb = load_image_rgb(_resolve_image_file(images_root, bd["id"]))
         x = normalize_imagenet(rgb).transpose(1, 2, 0)
         for j, (xmin, ymin, xmax, ymax) in enumerate(bd["bboxes_original_resolution"]):
             crop = x[ymin:ymax, xmin:xmax]
@@ -700,9 +732,11 @@ def extract_crf_segmentations(
         out_file = Path(output_dir) / f"{image_id}.png"
         if out_file.is_file():
             continue
-        with Image.open(str(Path(images_root) / f"{image_id}.jpg")) as im:
+        # Use the actual listed filename (any extension), unlike the
+        # reference which re-derives `{id}.jpg` (extract/extract.py:668).
+        with Image.open(str(Path(images_root) / image_file)) as im:
             Wd, Hd = im.size
-        pending.append((image_id, segmap_path, out_file, (Hd, Wd)))
+        pending.append((image_file, segmap_path, out_file, (Hd, Wd)))
     pending = shard_across_processes(pending)
 
     GRAN = 64  # pixel bucket granularity
@@ -712,8 +746,8 @@ def extract_crf_segmentations(
         imgs = np.zeros((batch_size, BH, BW, 3), np.float32)
         segs = np.zeros((batch_size, BH, BW), np.int32)
         metas = []
-        for i, (image_id, segmap_path, out_file, (H, W)) in enumerate(batch_items):
-            image = load_image_rgb(Path(images_root) / f"{image_id}.jpg")
+        for i, (image_file, segmap_path, out_file, (H, W)) in enumerate(batch_items):
+            image = load_image_rgb(Path(images_root) / image_file)
             segmap = load_segmap_png(segmap_path)
             P = downsample_factor
             H_pad, W_pad = (H // P) * P, (W // P) * P
