@@ -163,11 +163,42 @@ def _semantic_train(argv):
     return best
 
 
+def _semantic_generate(argv):
+    """Dump trained-model predictions (and GT) as PNGs — the reference's
+    `job_type=generate` (train.py:351-388). Restores a checkpoint and runs
+    bucketed (ViT) or per-image (ResNet) prediction over the image set."""
+    from ..utils.config import load_config
+    from . import semantic_segmentation as SS
+    p = argparse.ArgumentParser(prog="semantic_generate")
+    p.add_argument("--config", default=str(CONFIG_DIR / "semantic_train.yaml"))
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (or a specific step_N/best path)")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("overrides", nargs="*")
+    a = p.parse_args(argv)
+    cfg = load_config(a.config, a.overrides)
+    ds = SS.VOCSegmentationWithPseudolabels(
+        cfg.data.root, cfg.data.val_image_set, cfg.segments_dir)
+    tcfg = SS.TrainConfig(
+        backbone=cfg.backbone, num_classes=cfg.data.num_classes + 1,
+        use_ema=cfg.ema.use_ema,
+        crop_size=cfg.data.transform.crop_size,
+        precision=cfg.get("precision", "fp32"))
+    model = SS.build_model(tcfg)
+    state = SS.create_train_state(tcfg, model)
+    state = SS.restore_checkpoint(a.checkpoint, state)
+    SS.generate_predictions(state, ds, a.output_dir, max_images=a.max_images,
+                            patch_size=SS._backbone_patch_size(tcfg))
+    return a.output_dir
+
+
 TASKS = {
     "localization": _localization,
     "object_segmentation": _object_segmentation,
     "semantic_eval": _semantic_eval,
     "semantic_train": _semantic_train,
+    "semantic_generate": _semantic_generate,
 }
 
 

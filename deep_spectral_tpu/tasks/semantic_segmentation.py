@@ -285,20 +285,45 @@ def visualize_overlays(dataset, match, output_dir, max_images: int = 40):
     print(f"Wrote {n} overlays to {out}")
 
 
+def supports_bucketed_eval(state: "TrainState") -> bool:
+    """Bucketed (shape-padded) evaluation needs per-image interpolated ViT
+    position embeddings; ResNet backbones take the per-image path."""
+    try:
+        return "pos_embed" in state.params["backbone"]
+    except (KeyError, TypeError):
+        return False
+
+
+def _state_patch_size(state: "TrainState") -> Optional[int]:
+    """Patch size read off the ViT patch-embed kernel (P, P, 3, D) in the
+    train state — so eval paths can't silently use a wrong default."""
+    try:
+        return int(state.params["backbone"]["patch_embed"]["kernel"].shape[0])
+    except (KeyError, TypeError, AttributeError):
+        return None
+
+
 def generate_predictions(state: "TrainState", dataset, output_dir,
                          max_images: Optional[int] = None,
-                         bucketed: bool = False, batch_size: int = 8):
+                         bucketed: Optional[bool] = None, batch_size: int = 8,
+                         patch_size: Optional[int] = None):
     """Dump model predictions (and GT when present) as PNGs — the reference's
-    `generate` job (train.py:351-388). bucketed=True batches through padded
-    shape buckets (O(buckets) compiles; pixel-exact, see bucketed_predictions)."""
+    `generate` job (train.py:351-388). bucketed=None (default) auto-selects:
+    ViT backbones batch through padded shape buckets (O(buckets) compiles
+    instead of one per distinct image shape; pixel-exact, see
+    bucketed_predictions), ResNet backbones take the per-image path."""
     out = Path(output_dir)
     (out / "pred").mkdir(parents=True, exist_ok=True)
     (out / "gt").mkdir(parents=True, exist_ok=True)
     from ..utils.serialization import save_segmap_png
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
+    if bucketed is None:
+        bucketed = supports_bucketed_eval(state)
+    if patch_size is None:
+        patch_size = _state_patch_size(state) or 16
 
-    def save(i, pred, item=None):
-        _, _, target, stem = item if item is not None else dataset[i]
+    def save(i, pred, item):
+        _, _, target, stem = item
         save_segmap_png(pred.astype(np.uint8), out / "pred" / f"{stem}.png")
         if target is not None:
             save_segmap_png(np.asarray(target, np.uint8), out / "gt" / f"{stem}.png")
@@ -306,18 +331,19 @@ def generate_predictions(state: "TrainState", dataset, output_dir,
     if bucketed:
         for i, pred, item in bucketed_predictions(state, dataset,
                                                   list(range(n)),
+                                                  patch_size=patch_size,
                                                   batch_size=batch_size,
                                                   yield_items=True):
             save(i, pred, item)
     else:
         for i in range(n):
-            image, _, _, _ = dataset[i]
-            x = normalize_image(image)[None]
-            P = 16
+            item = dataset[i]
+            x = normalize_image(item[0])[None]
+            P = patch_size
             H, W = x.shape[1:3]
             pred = np.asarray(eval_step(state, jnp.asarray(
                 x[:, : (H // P) * P, : (W // P) * P])))[0]
-            save(i, pred)
+            save(i, pred, item)
     print(f"Wrote {n} predictions to {out}")
 
 
@@ -360,6 +386,16 @@ class TrainConfig:
     # 'fp32' or 'bf16': bf16 backbone/head compute with fp32 params, norms and
     # loss — the TPU analogue of the reference's fp16 Accelerator (train.py:29).
     precision: str = "fp32"
+
+
+def _backbone_patch_size(cfg: TrainConfig) -> int:
+    """Patch size of the configured ViT backbone (16 for ResNet, whose eval
+    path crops to 16-multiples like the reference's default downsample)."""
+    if isinstance(cfg.backbone, str) and "resnet" in cfg.backbone:
+        return 16
+    vit_cfg = cfg.backbone if not isinstance(cfg.backbone, str) \
+        else get_model_config(cfg.backbone)
+    return vit_cfg.patch_size
 
 
 def build_model(cfg: TrainConfig):
@@ -543,7 +579,7 @@ def _pos_for_bucket(pos_embed: np.ndarray, vh: int, vw: int, hp: int, wp: int,
 
 
 def bucketed_predictions(state: TrainState, dataset, indices,
-                         patch_size: int = 16, batch_size: int = 8,
+                         patch_size: Optional[int] = None, batch_size: int = 8,
                          yield_items: bool = False):
     """Yield (dataset_index, pred (H, W) int32) for each index — or
     (index, pred, dataset_item) with yield_items=True so callers that need
@@ -554,7 +590,7 @@ def bucketed_predictions(state: TrainState, dataset, indices,
     The shape pass reads only PIL headers when the dataset exposes image
     paths (`.images`); each image is fully decoded exactly once, during
     batch assembly."""
-    P = patch_size
+    P = patch_size if patch_size is not None else (_state_patch_size(state) or 16)
     backbone = state.params["backbone"]
     if "pos_embed" not in backbone:
         raise ValueError("bucketed evaluation requires a ViT backbone")
@@ -615,16 +651,21 @@ def bucketed_predictions(state: TrainState, dataset, indices,
 
 def evaluate_model(state: TrainState, dataset, num_classes: int = VOC_NUM_CLASSES,
                    ignore_index: int = 255, max_images: Optional[int] = None,
-                   bucketed: bool = False, batch_size: int = 8,
-                   patch_size: int = 16):
+                   bucketed: Optional[bool] = None, batch_size: int = 8,
+                   patch_size: Optional[int] = None):
     """Flat-pixel mIoU of model predictions vs GT, assuming the matching was
     already applied as the dataset label_map (reference: train.py:278-348,
     batch-size-1 semantics).
 
-    bucketed=True batches the val set through <= 2 padded shape buckets
-    (O(buckets) compiled programs instead of one per image shape; pixel-exact
-    vs the per-image path — see `bucketed_predictions`)."""
-    P = patch_size
+    bucketed=None (default) auto-selects: ViT backbones batch the val set
+    through <= 2 padded shape buckets (O(buckets) compiled programs instead
+    of one per image shape — the difference between seconds and hours on a
+    remote-compile TPU for ~1400 distinct VOC shapes; pixel-exact vs the
+    per-image path — see `bucketed_predictions`), ResNet backbones take the
+    per-image path."""
+    P = patch_size if patch_size is not None else (_state_patch_size(state) or 16)
+    if bucketed is None:
+        bucketed = supports_bucketed_eval(state)
     n = len(dataset) if max_images is None else min(len(dataset), max_images)
     preds_all, gts_all = [], []
 
@@ -699,31 +740,30 @@ def restore_checkpoint(ckpt_dir_or_path: str, state: TrainState) -> TrainState:
         path = steps[-1] if steps else path / "best"
     ckptr = ocp.StandardCheckpointer()
     template = _ckpt_tree(state)
+    # EMA presence may differ between the checkpoint and the current config
+    # (e.g. resuming a use_ema run from a no-EMA checkpoint). Reconcile by
+    # inspecting the checkpoint's saved tree keys from its metadata — a
+    # deterministic check, instead of parsing orbax exception messages whose
+    # wording changes across versions (ADVICE r2).
     try:
-        restored = ckptr.restore(path, template)
-    except Exception as e:
-        # EMA presence may differ between the checkpoint and the current
-        # config (e.g. resuming a use_ema run from a no-EMA checkpoint) —
-        # retry with the template flipped rather than failing on an orbax
-        # tree-structure mismatch. Only that mismatch is retried: any other
-        # failure (corrupt/missing checkpoint, shape/dtype change) re-raises
-        # so the real error stays diagnosable.
-        msg = str(e).lower()
-        if not any(w in msg for w in ("structure", "ema_params", "tree",
-                                      "custom node type")):
-            raise
-        if "ema_params" in template:
+        saved_keys = set(ckptr.metadata(path).item_metadata.tree.keys())
+    except Exception:
+        saved_keys = None  # metadata unreadable: restore with the template as-is
+    drop_ema = False
+    if saved_keys is not None:
+        if "ema_params" in template and "ema_params" not in saved_keys:
             template = {k: v for k, v in template.items() if k != "ema_params"}
-            restored = ckptr.restore(path, template)
             print("warning: checkpoint has no EMA state — EMA params keep "
                   "their current (re-initialized) values")
-        else:
+        elif "ema_params" not in template and "ema_params" in saved_keys:
             template = dict(template)
             template["ema_params"] = jax.tree.map(np.asarray, state.params)
-            restored = ckptr.restore(path, template)
+            drop_ema = True
             print("warning: checkpoint contains EMA state but the current "
                   "config does not use EMA — ignoring it")
-            restored.pop("ema_params", None)
+    restored = ckptr.restore(path, template)
+    if drop_ema:
+        restored.pop("ema_params", None)
     new = state.replace(
         params=jax.tree.map(jnp.asarray, restored["params"]),
         batch_stats=jax.tree.map(jnp.asarray, restored["batch_stats"]),
@@ -833,7 +873,11 @@ def train(cfg: TrainConfig, dataset_train, dataset_val=None,
         if writer is not None and step % max(log_every, 1) == 0:
             writer.log(step, loss=float(logs["loss"]), acc=float(logs["acc"]))
         if dataset_val is not None and eval_every and (step + 1) % eval_every == 0:
-            miou, _ = evaluate_model(state, dataset_val, cfg.num_classes)
+            # Bucketed eval (auto for ViT backbones): O(buckets) compiled
+            # programs instead of one per distinct val-image shape
+            # (reference eval: train.py:278-348).
+            miou, _ = evaluate_model(state, dataset_val, cfg.num_classes,
+                                     patch_size=_backbone_patch_size(cfg))
             print(f"step {step}: val mIoU={miou:.4f}")
             if writer is not None:
                 writer.log(step, val_miou=miou)

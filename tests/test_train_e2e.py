@@ -252,3 +252,23 @@ def test_upsample_pseudolabel_matches_resize_nearest(rng):
         ref = np.array(resize_nearest(jnp.asarray(seg.astype(np.int32)),
                                       (h_out, w_out)))
         np.testing.assert_array_equal(got, ref, err_msg=f"{(h_in, w_in)}->{(h_out, w_out)}")
+
+
+def test_in_train_eval_is_bucketed(voc_root_multishape):
+    """VERDICT r2 #2: train()'s periodic eval must take the bucketed path —
+    O(buckets) new compiled eval programs (not one per distinct val-image
+    shape, which costs 40-300 s per shape over a remote-compile tunnel), and
+    zero per-image eval_step programs."""
+    root, segs = voc_root_multishape
+    ds = SS.VOCSegmentationWithPseudolabels(str(root), "all", str(segs))
+    cfg = SS.TrainConfig(backbone=TINY, num_classes=2, crop_size=32,
+                         resize_size=40, batch_size=2, lr=1e-3,
+                         max_train_steps=2, unfrozen_backbone_layers=0)
+    before_bucketed = SS.eval_step_bucketed._cache_size()
+    before_per_image = SS.eval_step._cache_size()
+    SS.train(cfg, ds, dataset_val=ds, eval_every=2, log_every=0, max_steps=2)
+    new_bucketed = SS.eval_step_bucketed._cache_size() - before_bucketed
+    new_per_image = SS.eval_step._cache_size() - before_per_image
+    assert new_per_image == 0, "in-train eval compiled per-image programs"
+    # 4 distinct shapes in the fixture -> <= 2 landscape/portrait buckets
+    assert 1 <= new_bucketed <= 2, new_bucketed
