@@ -193,10 +193,17 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
                          m_scratch, l_scratch, acc_scratch,
                          *, sm_scale: float, num_kv_blocks: int,
-                         num_heads: int, head_dim: int):
+                         num_heads: int, head_dim: int, block_k_minor: int):
     """One (batch, q-block, kv-block) cell covering ALL heads: q/k/v blocks are
     (block, H*hd) lane-packed; heads unroll as static lane slices with
-    per-head (m, l, acc) scratch rows."""
+    per-head (m, l, acc) scratch rows.
+
+    Two-level KV tiling: the grid's kv axis moves a LARGE (block_k-row) k/v
+    block per step (DMA granularity), but scores compute on (block_q,
+    block_k_minor) sub-tiles — the fp32 score/probability temporaries no
+    longer scale with the transfer block, so block_q stays at 512 where the
+    single-level kernel was VMEM-forced down to 256 at T=4096 (the ViT-S/8
+    stretch config)."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -205,33 +212,37 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
         l_scratch[...] = jnp.zeros(l_scratch.shape, jnp.float32)
         acc_scratch[...] = jnp.zeros(acc_scratch.shape, jnp.float32)
 
-    kv_mask = mask_ref[0]
+    block_k = k_ref.shape[1]
+    num_minor = block_k // block_k_minor
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
+        for mi in range(num_minor):
+            rows = slice(mi * block_k_minor, (mi + 1) * block_k_minor)
+            k = k_ref[0, rows, sl]
+            v = v_ref[0, rows, sl]
+            kv_mask = mask_ref[0][:, rows]
 
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * sm_scale
-        s = jnp.where(kv_mask, s, MASK_VALUE)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * sm_scale
+            s = jnp.where(kv_mask, s, MASK_VALUE)
 
-        m_prev = m_scratch[h]
-        l_prev = l_scratch[h]
-        m_curr = jnp.max(s, axis=1)[:, None]
-        m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])
-        p = jnp.where(kv_mask, p, 0.0)
-        l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
-        m_scratch[h] = m_next
-        l_scratch[h] = l_next
+            m_prev = m_scratch[h]
+            l_prev = l_scratch[h]
+            m_curr = jnp.max(s, axis=1)[:, None]
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_curr, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])
+            p = jnp.where(kv_mask, p, 0.0)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+            m_scratch[h] = m_next
+            l_scratch[h] = l_next
 
-        o_curr = jax.lax.dot(p.astype(v.dtype), v,
-                             preferred_element_type=jnp.float32)
-        acc_scratch[h] = acc_scratch[h] * alpha[:, :1] + o_curr
+            o_curr = jax.lax.dot(p.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32)
+            acc_scratch[h] = acc_scratch[h] * alpha[:, :1] + o_curr
 
     @pl.when(kv_idx == num_kv_blocks - 1)
     def _store():
@@ -243,12 +254,13 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k",
-                                             "interpret"))
+                                             "block_k_minor", "interpret"))
 def _flash_forward_packed(q, k, v, kv_mask, *, num_heads,
                           block_q=PACKED_BLOCK_Q, block_k=PACKED_BLOCK_K,
-                          interpret=False):
+                          block_k_minor=None, interpret=False):
     """q/k/v: (B, T, H, hd). Returns (B, T, H, hd). No transposes, no
-    residuals — the inference fast path."""
+    residuals — the inference fast path. block_k_minor < block_k enables
+    two-level KV tiling (see _flash_kernel_packed)."""
     B, T, H, hd = q.shape
     D = H * hd
     sm_scale = 1.0 / math.sqrt(hd)
@@ -266,12 +278,15 @@ def _flash_forward_packed(q, k, v, kv_mask, *, num_heads,
     mp = kv_mask[:, None, :]
     block_q = min(block_q, Tp)
     block_k = min(block_k, Tp)
+    if block_k_minor is None or block_k_minor > block_k:
+        block_k_minor = block_k
+    assert block_k % block_k_minor == 0, (block_k, block_k_minor)
     num_q_blocks = Tp // block_q
     num_kv_blocks = Tp // block_k
 
     kernel = functools.partial(_flash_kernel_packed, sm_scale=sm_scale,
                                num_kv_blocks=num_kv_blocks, num_heads=H,
-                               head_dim=hd)
+                               head_dim=hd, block_k_minor=block_k_minor)
     out = pl.pallas_call(
         kernel,
         grid=(B, num_q_blocks, num_kv_blocks),
@@ -387,10 +402,10 @@ def flash_attention(q, k, v, kv_mask=None, *, block_q=None, block_k=None,
     """
     if layout == "bthd":
         B, T, H, hd = q.shape
-        bq, bk = pick_packed_blocks(T, H, hd, block_q, block_k)
+        bq, bk, bkm = pick_packed_blocks(T, H, hd, block_q, block_k)
         return _flash_forward_packed(
             q, k, v, kv_mask, num_heads=H, block_q=bq, block_k=bk,
-            interpret=interpret)
+            block_k_minor=bkm, interpret=interpret)
     return _flash_forward(q, k, v, kv_mask,
                           block_q=block_q or DEFAULT_BLOCK,
                           block_k=block_k or DEFAULT_BLOCK,
@@ -417,33 +432,48 @@ def will_use_flash(impl: str, T: int, want_attn: bool = False) -> bool:
     return impl == "auto" and jax.default_backend() == "tpu" and T >= 768
 
 
-def pick_packed_blocks(T, H, hd, block_q=None, block_k=None):
-    """VMEM-fitting (block_q, block_k) for the packed kernel.
+def pick_packed_blocks(T, H, hd, block_q=None, block_k=None,
+                       block_k_minor=None):
+    """VMEM-fitting (block_q, block_k, block_k_minor) for the packed kernel.
 
     Scoped-VMEM estimate: q/k/v/out blocks (double-buffered only when an axis
     has more than one block — Pallas single-buffers a revisited block),
     per-head m/l/acc scratch, one fp32 score tile + its bf16 copy. Measured
     reality runs ~40% above the naive sum (compiler temporaries), so the
-    16 MB budget is checked against est * 1.4. Halves block_q (then block_k
-    for wide-D models) until it fits — e.g. T=4096/H=6 lands on (256, 1024),
-    ViT-S T=1024 keeps (512, 1024), ViT-B T=4096 on (128, 512)."""
+    16 MB budget is checked against est * 1.4.
+
+    Two-level KV tiling: the fp32 score temporaries scale with block_k_MINOR
+    while the k/v DMA buffers scale with block_k, so shrinking the minor tile
+    (1024 -> 512 -> 256) is tried FIRST — it keeps both the q-block (grid
+    parallelism, fewer online-softmax rescales) and the KV transfer size.
+    Only then block_q and block_k halve. T=4096/H=6 now lands on
+    (512, 1024, minor 512) where the single-level kernel was forced to
+    (256, 1024); ViT-S T=1024 keeps (512, 1024) single-level; ViT-B T=4096
+    lands on (256, 1024, minor 256)."""
     bq = block_q or PACKED_BLOCK_Q
     bk = block_k or PACKED_BLOCK_K
+    bkm = block_k_minor or bk
     D = H * hd
 
-    def _est(bq, bk):
+    def _est(bq, bk, bkm):
         Tp = -(-T // math.lcm(bq, bk)) * math.lcm(bq, bk)
         buf_q = 2 if Tp > bq else 1
         buf_k = 2 if Tp > bk else 1
         return (2 * (buf_q * 2 * bq * D + buf_k * 2 * bk * D)
                 + H * bq * (2 * LANES + hd) * 4
-                + bq * bk * 6)
+                + bq * bkm * 6)
 
-    while bq > 128 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
+    def fits():
+        return _est(bq, bk, bkm) * 1.4 <= 15 * 2 ** 20
+
+    while bkm > 256 and not fits():
+        bkm //= 2
+    while bq > 128 and not fits():
         bq //= 2
-    while bk > 256 and _est(bq, bk) * 1.4 > 15 * 2 ** 20:
+    while bk > 256 and not fits():
         bk //= 2
-    return bq, bk
+        bkm = min(bkm, bk)
+    return bq, bk, min(bkm, bk)
 
 
 def _einsum_attention(q, k, v, kv_mask):

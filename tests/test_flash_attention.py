@@ -190,15 +190,42 @@ def test_flash_bthd_layout_matches_bhtd(rng):
                                    atol=1e-3, rtol=1e-3)
 
 
+def test_packed_two_level_kv_tiling_matches_einsum(rng):
+    """Two-level KV tiling (block_k_minor < block_k) must be numerically
+    identical to single-level: the online softmax just sees more, smaller KV
+    tiles. Includes a ragged token mask that ends mid-minor-tile."""
+    import jax.numpy as jnp
+    from deep_spectral_tpu.models.flash_attention import (
+        _einsum_attention, _flash_forward_packed)
+    B, T, H, hd = 2, 640, 3, 32
+    q = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    k = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    v = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[1, 417:] = False  # ends inside a 128-minor tile
+    t = lambda x: jnp.asarray(x.transpose(0, 2, 1, 3))
+    ref = np.asarray(_einsum_attention(t(q), t(k), t(v), jnp.asarray(mask)))
+    for bq, bk, bkm in [(128, 256, 128), (256, 256, 64), (128, 640, 128)]:
+        out = np.asarray(_flash_forward_packed(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+            num_heads=H, block_q=bq, block_k=bk, block_k_minor=bkm,
+            interpret=True))
+        np.testing.assert_allclose(out.transpose(0, 2, 1, 3), ref, atol=2e-5,
+                                   err_msg=f"blocks ({bq},{bk},{bkm})")
+
+
 def test_packed_block_guard():
     """The packed kernel's block guard keeps the tuned blocks where they fit
-    and shrinks them (q first, then k) where the scoped-VMEM budget would
-    overflow (T=4096 at (512,1024) OOM'd on hardware at 16.47M/16M)."""
+    and, where the scoped-VMEM budget would overflow (T=4096 at single-level
+    (512,1024) OOM'd on hardware at 16.47M/16M), shrinks the KV MINOR tile
+    first (two-level tiling: score temporaries scale with the minor tile,
+    k/v DMA with the major block) so block_q stays at 512, then q, then k."""
     from deep_spectral_tpu.models.flash_attention import pick_packed_blocks
-    assert pick_packed_blocks(1024, 6, 64) == (512, 1024)   # vits16 @480
-    assert pick_packed_blocks(3601, 6, 64) == (256, 1024)   # vits8 @480
-    bq, bk = pick_packed_blocks(3601, 12, 64)               # vitb8 @480
-    assert bq <= 256 and bk <= 1024
-    assert pick_packed_blocks(1024, 12, 64)[0] <= 256       # vitb16 @480
+    assert pick_packed_blocks(1024, 6, 64) == (512, 1024, 1024)  # vits16 @480
+    # vits8 @480: two-level tiling keeps block_q=512 (was forced to 256)
+    assert pick_packed_blocks(3601, 6, 64) == (512, 1024, 512)
+    bq, bk, bkm = pick_packed_blocks(3601, 12, 64)               # vitb8 @480
+    assert bq <= 256 and bk <= 1024 and bkm <= 512
+    assert pick_packed_blocks(1024, 12, 64)[0] <= 512            # vitb16 @480
     # explicit blocks are respected when they fit
-    assert pick_packed_blocks(1024, 6, 64, 256, 512) == (256, 512)
+    assert pick_packed_blocks(1024, 6, 64, 256, 512) == (256, 512, 512)
