@@ -4,10 +4,11 @@ Replaces SimpleCRF's C++ `denseCRF.densecrf(image, unary, (w1, alpha, beta, w2,
 gamma, it))` (reference: extract/extract.py:688-710) with a pure-JAX mean-field
 loop whose bilateral message passing runs through a 5-D bilateral grid
 (splat -> separable 3-tap blur -> slice), the classical fast approximation to the
-permutohedral lattice. All steps are static-shape XLA ops: the splat is a
-32-corner scatter-add, the blur is five separable [1,2,1] convolutions, the slice
-a 32-corner gather — everything fuses and runs on device, batched over images of
-a common bucket shape via `vmap`.
+permutohedral lattice. All steps are static-shape XLA ops: the splat is an
+8-color-corner scatter-add from a box-downsampled image, the blur is five
+separable [1,2,1] convolutions, the slice an 8-color-corner gather at the splat
+resolution followed by a dense joint-bilateral upsample — everything fuses and
+runs on device.
 
 Energy model (Krahenbuhl & Koltun dense CRF with Potts compatibility):
     E(x) = sum_i -log P(x_i)
@@ -91,11 +92,6 @@ def _grid_coords(image: jax.Array, alpha: float, beta: float) -> jax.Array:
     return jnp.stack([yy, xx, col[..., 0], col[..., 1], col[..., 2]], axis=-1)
 
 
-def _corner_offsets():
-    return jnp.asarray([[(c >> d) & 1 for d in range(5)] for c in range(32)],
-                       jnp.int32)  # (32, 5)
-
-
 def _box_downsample(x: jax.Array, s: int) -> jax.Array:
     """Mean-pool (H, W, C) by factor s (pads bottom/right by edge replication)."""
     if s == 1:
@@ -120,7 +116,14 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     the grid's spatial resolution is alpha, so pre-aggregating pixels that land
     in the same cell neighborhood loses nothing), one fused scatter-add for all
     32 trilinear corners; separable [1,2,1] BLUR over the 5 grid dims; SLICE at
-    full resolution with the full-resolution guide.
+    the SPLAT resolution (8 color-corner gathers over n_lr points instead of
+    H*W — the full-res gather was ~2/3 of the CRF's device time on a v5e),
+    then JOINT-BILATERAL UPSAMPLE to full resolution: each pixel blends its
+    4 low-res neighbors' messages weighted by bilinear distance x color
+    similarity to the full-res guide. The neighbor access pattern is a
+    static-index nearest upsample, so the upsample is pure dense VPU work —
+    no full-resolution gathers remain. (alpha < 16 keeps the exact full-res
+    slice: the splat grid is already near full resolution.)
     """
     H, W, C = values.shape
     # Pad the channel dim so (C + homogeneous 1) is a multiple of 8: every
@@ -140,7 +143,6 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     dims = jnp.asarray(grid_shape, jnp.int32)
     strides = jnp.asarray([gx * gc * gc * gc, gc * gc * gc, gc * gc, gc, 1],
                           jnp.int32)
-    offs = _corner_offsets()  # (32, 5)
 
     # ---- splat (low-res) ----
     s = max(1, int(alpha / 8.0))
@@ -157,15 +159,27 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
     coords = jnp.stack([yy, xx, col[..., 0], col[..., 1], col[..., 2]],
                        axis=-1).reshape(-1, 5)
     n_lr = hl * wl
-    lo = jnp.floor(coords)
-    frac = coords - lo
-    lo = lo.astype(jnp.int32)
-    idx5 = jnp.clip(lo[None] + offs[:, None, :], 0, dims[None, None, :] - 1)
-    w = jnp.prod(jnp.where(offs[:, None, :] == 1, frac[None], 1.0 - frac[None]),
-                 axis=-1)                     # (32, n_lr)
-    flat = jnp.sum(idx5 * strides[None, None, :], axis=-1)  # (32, n_lr)
+    # Trilinear in the 3 color dims, spatial rounded to nearest — mirroring
+    # the slice's approximation (spatial cells are alpha wide and both ends of
+    # the transform smooth spatially; color placement is the signal). 8
+    # scatter corners instead of the 32-corner quintilinear: the fused
+    # scatter-add was the largest single op of the CRF step on a v5e
+    # (2.0 ms/iter of 7.3), and scatter cost scales with update count.
+    sp_idx = jnp.clip(jnp.round(coords[:, :2]).astype(jnp.int32), 0,
+                      dims[None, :2] - 1)
+    sp_flat = jnp.sum(sp_idx * strides[None, :2], axis=1)       # (n_lr,)
+    lo_c = jnp.floor(coords[:, 2:])
+    frac_c = coords[:, 2:] - lo_c
+    lo_c = lo_c.astype(jnp.int32)
+    c_offs = jnp.asarray([[(c >> 2) & 1, (c >> 1) & 1, c & 1]
+                          for c in range(8)], jnp.int32)        # (8, 3)
+    c_idx = jnp.clip(lo_c[None] + c_offs[:, None, :], 0,
+                     dims[None, None, 2:] - 1)
+    flat = sp_flat[None] + jnp.sum(c_idx * strides[None, None, 2:], axis=-1)
+    w = jnp.prod(jnp.where(c_offs[:, None, :] == 1, frac_c[None],
+                           1.0 - frac_c[None]), axis=-1)        # (8, n_lr)
     updates = (vals_lr.reshape(1, n_lr, C_in + 1) * w[..., None] *
-               float(s * s)).reshape(32 * n_lr, C_in + 1)
+               float(s * s)).reshape(8 * n_lr, C_in + 1)
     grid = jnp.zeros((G, C_in + 1), jnp.float32).at[flat.reshape(-1)].add(updates)
 
     # ---- blur: separable 3-tap [1, 2, 1] along each of the 5 grid dims ----
@@ -175,31 +189,74 @@ def bilateral_filter(values: jax.Array, image: jax.Array,
         g5 = _conv_axis(g5, k, axis)
     grid = g5.reshape(G, C_in + 1)
 
-    # ---- slice (full-res guide) ----
+    # ---- slice ----
     # Trilinear in the 3 color dims (the boundary-sharpening signal), bilinear
     # spatial rounded to nearest: 8 gathers instead of the 32-corner
     # quintilinear. Spatial cells are alpha (80px) wide and the message field
     # is smooth at that scale, so spatial-nearest costs little; color
     # interpolation is what distinguishes labels across an edge.
-    coords_f = _grid_coords(image, alpha, beta).reshape(-1, 5)
-    sp_idx = jnp.clip(jnp.round(coords_f[:, :2]).astype(jnp.int32), 0,
-                      dims[None, :2] - 1)
-    sp_flat = jnp.sum(sp_idx * strides[None, :2], axis=1)
-    lo_c = jnp.floor(coords_f[:, 2:])
-    frac_c = coords_f[:, 2:] - lo_c
-    lo_c = lo_c.astype(jnp.int32)
-    out = jnp.zeros((H * W, C_in + 1), jnp.float32)
-    for corner in range(8):
-        o = jnp.asarray([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1],
-                        jnp.int32)
-        c_idx = jnp.clip(lo_c + o[None, :], 0, dims[None, 2:] - 1)
-        idx = sp_flat + jnp.sum(c_idx * strides[None, 2:], axis=1)
-        wc = jnp.prod(jnp.where(o[None, :] == 1, frac_c, 1.0 - frac_c), axis=1)
-        out = out + grid[idx] * wc[:, None]
+    def slice_at(coords_pts):
+        n = coords_pts.shape[0]
+        sp_idx = jnp.clip(jnp.round(coords_pts[:, :2]).astype(jnp.int32), 0,
+                          dims[None, :2] - 1)
+        sp_flat = jnp.sum(sp_idx * strides[None, :2], axis=1)
+        lo_c = jnp.floor(coords_pts[:, 2:])
+        frac_c = coords_pts[:, 2:] - lo_c
+        lo_c = lo_c.astype(jnp.int32)
+        out = jnp.zeros((n, C_in + 1), jnp.float32)
+        for corner in range(8):
+            o = jnp.asarray([(corner >> 2) & 1, (corner >> 1) & 1, corner & 1],
+                            jnp.int32)
+            c_idx = jnp.clip(lo_c + o[None, :], 0, dims[None, 2:] - 1)
+            idx = sp_flat + jnp.sum(c_idx * strides[None, 2:], axis=1)
+            wc = jnp.prod(jnp.where(o[None, :] == 1, frac_c, 1.0 - frac_c),
+                          axis=1)
+            out = out + grid[idx] * wc[:, None]
+        return out
 
-    filtered, density = out[:, :C], out[:, C_in:]
-    return (filtered / jnp.maximum(density, 1e-20)).reshape(H, W, C), \
-        density.reshape(H, W, 1)
+    if s == 1:
+        out = slice_at(_grid_coords(image, alpha, beta).reshape(-1, 5))
+        filtered, density = out[:, :C], out[:, C_in:]
+        return (filtered / jnp.maximum(density, 1e-20)).reshape(H, W, C), \
+            density.reshape(H, W, 1)
+
+    # Low-res slice at the splat points' own coordinates (colors included) ...
+    M_lr = slice_at(coords).reshape(hl, wl, C_in + 1)
+
+    # ... then joint-bilateral upsample to full res. Neighbor indices are
+    # STATIC (numpy at trace time): each full-res row/col maps to a fixed
+    # pair of low-res rows/cols, so the 4 neighbor reads are axis-takes with
+    # constant indices (XLA lowers them to cheap row copies, not gathers).
+    import numpy as np
+    c0 = (s - 1) / 2.0
+    ty = np.clip((np.arange(H) - c0) / s, 0, hl - 1)
+    tx = np.clip((np.arange(W) - c0) / s, 0, wl - 1)
+    iy0 = np.floor(ty).astype(np.int32)
+    ix0 = np.floor(tx).astype(np.int32)
+    iy1 = np.minimum(iy0 + 1, hl - 1)
+    ix1 = np.minimum(ix0 + 1, wl - 1)
+    ry = jnp.asarray((ty - iy0)[:, None], jnp.float32)   # (H, 1)
+    rx = jnp.asarray((tx - ix0)[None, :], jnp.float32)   # (1, W)
+    img_f = image.astype(jnp.float32)
+    inv_2b2 = 1.0 / (2.0 * beta * beta)
+    acc = jnp.zeros((H, W, C_in + 1), jnp.float32)
+    wsum = jnp.zeros((H, W), jnp.float32)
+    for a, iy, wy in ((0, iy0, 1.0 - ry), (1, iy1, ry)):
+        M_row = jnp.take(M_lr, iy, axis=0)
+        C_row = jnp.take(img_lr, iy, axis=0)
+        for b, ix, wx in ((0, ix0, 1.0 - rx), (1, ix1, rx)):
+            Mn = jnp.take(M_row, ix, axis=1)             # (H, W, C_in+1)
+            Cn = jnp.take(C_row, ix, axis=1)             # (H, W, 3)
+            d2 = jnp.sum((img_f - Cn) ** 2, axis=-1)
+            # color similarity x bilinear distance; the small floor keeps a
+            # plain-bilinear fallback when no neighbor matches the pixel's
+            # color (thin structures smaller than the splat box)
+            w = (jnp.exp(-d2 * inv_2b2) + 1e-3) * (wy * wx)
+            acc = acc + Mn * w[..., None]
+            wsum = wsum + w
+    M_full = acc / jnp.maximum(wsum, 1e-20)[..., None]
+    filtered, density = M_full[..., :C], M_full[..., C_in:]
+    return filtered / jnp.maximum(density, 1e-20), density
 
 
 @partial(jax.jit, static_argnames=("num_classes", "params", "gt_prob"))
