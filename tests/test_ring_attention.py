@@ -50,3 +50,24 @@ def test_ring_rejects_indivisible_T(rng, mesh):
     x = jnp.zeros((B, H, T, hd))
     with pytest.raises(ValueError, match="not divisible"):
         ring_attention_sharded(mesh, x, x, x)
+
+
+def test_ring_flash_hops_match_einsum_hops(rng, mesh):
+    """Flash-tile ring hops (Pallas kernel per resident tile, interpret mode
+    on CPU) vs the einsum-tile hops — including a ragged mask with one fully
+    invalid shard, which exercises the finite-lse merge of all-masked hops."""
+    B, H, T, hd = 2, 2, 64, 8
+    q = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((B, H, T, hd)).astype(np.float32))
+    mask = np.ones((B, T), bool)
+    mask[0, 40:] = False
+    m = jnp.asarray(mask)
+    ref = np.asarray(ring_attention_sharded(mesh, q, k, v, m))
+    out = np.asarray(ring_attention_sharded(mesh, q, k, v, m, impl="flash",
+                                            interpret=True))
+    assert np.isfinite(out).all()
+    for b in range(B):
+        valid = mask[b]
+        np.testing.assert_allclose(out[b][:, valid], ref[b][:, valid],
+                                   atol=2e-5)
