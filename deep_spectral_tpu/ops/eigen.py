@@ -38,6 +38,18 @@ from .affinity import degree_vector, feature_affinity, l2_normalize
 # lam_K above the filter window -> NaN) all exceed it.
 CHEB_RESIDUAL_TOL = 2e-3
 
+# TPU gotcha (measured on v5e, round 3): XLA:TPU runs float32 `jnp.dot` at
+# DEFAULT precision as ONE bf16 MXU pass, so every "f32" matmul inside the
+# iterative solvers silently ran at bf16 — the Chebyshev window estimate /
+# Rayleigh-Ritz / residual check degraded until the solver converged to the
+# wrong band (Fiedler cosine ~0.02 vs eigh on graphs that solve to 1e-4
+# residual on CPU), and LOBPCG's internal orthonormalization suffered the
+# same. Solver-critical dots are therefore pinned to HIGHEST (true f32,
+# 6-pass); the Chebyshev FILTER chain stays explicitly bf16 — a degraded
+# filter only slows convergence, and the exact residual guard rejects
+# anything that did not converge.
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 def sign_fix(eigenvectors: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """Resolve eigenvector sign ambiguity the way the reference does: flip a vector
@@ -249,7 +261,7 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
         c = 1.0 + jnp.max(offdiag)
 
         def mv(X):
-            WX = jnp.dot(W, inv_sqrt_d[:, None] * X,
+            WX = jnp.dot(W, inv_sqrt_d[:, None] * X, precision=_EXACT,
                          preferred_element_type=jnp.float32)
             return (c - 1.0) * X + inv_sqrt_d[:, None] * WX
     else:
@@ -257,12 +269,15 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
 
         def mv(X):
             return (c * jnp.ones_like(d) - d)[:, None] * X + jnp.dot(
-                W, X, preferred_element_type=jnp.float32)
+                W, X, precision=_EXACT, preferred_element_type=jnp.float32)
 
     X0 = jax.random.normal(jax.random.PRNGKey(0), (N, m_block), jnp.float32)
     if mask is not None:
         X0 = X0 * mask.astype(jnp.float32)[:, None]
-    theta, V, _ = lobpcg_standard(mv, X0, m=iters, tol=tol)
+    # lobpcg_standard's internal Rayleigh-Ritz/SVQB matmuls must be true f32
+    # on TPU too (trace-time context; see the _EXACT note at the top).
+    with jax.default_matmul_precision("highest"):
+        theta, V, _ = lobpcg_standard(mv, X0, m=iters, tol=tol)
     evals = (c - theta)[:K]
     V = V[:, :K]
     if lapnorm:
@@ -308,7 +323,8 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
 
     def A_mv(X):  # I - D^-1/2 W D^-1/2, exact f32 (RR + residual check)
         return X - inv_sqrt_d[:, None] * jnp.dot(
-            W, inv_sqrt_d[:, None] * X, preferred_element_type=jnp.float32)
+            W, inv_sqrt_d[:, None] * X, precision=_EXACT,
+            preferred_element_type=jnp.float32)
 
     # Filter matvecs in bf16 with f32 accumulation: the MXU's native mode
     # (f32 matmuls decompose into multiple bf16 passes, ~2x+ slower). The
@@ -323,7 +339,11 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         S_fast = (inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]).astype(matvec_dtype)
 
     def A_mv_fast(X):
-        return X - jnp.dot(S_fast, X.astype(S_fast.dtype),
+        # bf16 operator: DEFAULT (one MXU pass) is exactly bf16 compute, as
+        # designed. f32 operator (matvec_precision='f32'): pin HIGHEST, or
+        # XLA:TPU silently runs the dot at bf16 anyway (see _EXACT note).
+        prec = None if S_fast.dtype == jnp.bfloat16 else _EXACT
+        return X - jnp.dot(S_fast, X.astype(S_fast.dtype), precision=prec,
                            preferred_element_type=jnp.float32)
 
     X = jax.random.normal(jax.random.PRNGKey(0), (N, m_block), jnp.float32)
@@ -331,13 +351,23 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         X = X * mask.astype(jnp.float32)[:, None]
 
     def rr(X):
-        G = jnp.dot(X.T, X, preferred_element_type=jnp.float32)
+        # TPU eigh hazard (measured on v5e): XLA's eigh expansion silently
+        # returns diag(G) (V = permutation, 59% residual!) when entries reach
+        # ~1e21 — its internal squares overflow f32 and no Jacobi rotation
+        # fires. The degree-10 filter grows column norms to ~1e10 (Gram
+        # ~1e20), exactly that regime, which collapsed the whole solve on
+        # TPU while CPU (LAPACK) was fine. Normalize columns first: the
+        # span — all RR needs — is unchanged, and Gram entries stay <= 1.
+        X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
+        G = jnp.dot(X.T, X, precision=_EXACT, preferred_element_type=jnp.float32)
         w, Vg = jnp.linalg.eigh(G)
         Xo = jnp.dot(X, Vg / jnp.sqrt(jnp.maximum(w, 1e-12))[None, :],
-                     preferred_element_type=jnp.float32)
-        T = jnp.dot(Xo.T, A_mv(Xo), preferred_element_type=jnp.float32)
+                     precision=_EXACT, preferred_element_type=jnp.float32)
+        T = jnp.dot(Xo.T, A_mv(Xo), precision=_EXACT,
+                    preferred_element_type=jnp.float32)
         theta, Q = jnp.linalg.eigh((T + T.T) / 2)
-        return jnp.dot(Xo, Q, preferred_element_type=jnp.float32), theta
+        return jnp.dot(Xo, Q, precision=_EXACT,
+                       preferred_element_type=jnp.float32), theta
 
     # window estimate: short power iteration on (2I - A), then one RR. The
     # Rayleigh quotients overestimate the true smallest eigenvalues, so
