@@ -314,7 +314,16 @@ def init_vit_params(name_or_cfg, seed: int = 0, compute_dtype=jnp.float32):
 
 
 def vit_forward(model: VisionTransformer, params, images: jax.Array, **kwargs):
-    """Functional forward; jit/vmap/pjit-friendly."""
+    """Functional forward; jit/vmap/pjit-friendly.
+
+    fp32 compute runs under matmul precision 'highest': XLA:TPU would
+    otherwise execute f32 matmuls as single bf16 MXU passes, making the
+    'fp32 parity path' silently bf16 on hardware (see ops/eigen.py's TPU
+    numerics note). bf16 compute keeps DEFAULT — one pass IS its contract.
+    """
+    if model.compute_dtype == jnp.float32:
+        with jax.default_matmul_precision("highest"):
+            return model.apply(params, images, **kwargs)
     return model.apply(params, images, **kwargs)
 
 
@@ -327,6 +336,6 @@ def extract_patch_keys(model: VisionTransformer, params, images: jax.Array,
 
     Returns (B, N, D).
     """
-    out = model.apply(params, images, qkv_block=which_block, n_intermediates=0,
-                      token_mask=token_mask)
+    out = vit_forward(model, params, images, qkv_block=which_block,
+                      n_intermediates=0, token_mask=token_mask)
     return out["qkv"][which_features][:, 1:, :]

@@ -30,6 +30,14 @@ from typing import Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+# XLA:TPU runs f32 dots at DEFAULT precision as one bf16 pass (~4e-3 relative
+# error). The reference builds these graphs in true f32, and a 4e-3 relative
+# perturbation of W moves eigenvectors by ~||dW||/gap ~ 5e-2 on typical image
+# graphs — below the >=0.999 parity bar. Pin graph construction to HIGHEST
+# (the (N, N) matmul is a small share of pipeline FLOPs; see ops/eigen.py
+# for the full TPU-numerics note).
+_EXACT = jax.lax.Precision.HIGHEST
+
 
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """Torch-style F.normalize(p=2): x / max(||x||, eps) (reference: extract/extract.py:148)."""
@@ -54,7 +62,7 @@ def feature_affinity(
     f = feats.astype(jnp.float32)
     if normalize:
         f = l2_normalize(f, axis=-1)
-    W = jnp.dot(f, f.T, preferred_element_type=jnp.float32)
+    W = jnp.dot(f, f.T, precision=_EXACT, preferred_element_type=jnp.float32)
     if threshold_at_zero:
         W = jnp.maximum(W, 0.0)
     if mask is not None:
@@ -89,7 +97,8 @@ def _knn_indices(f: jax.Array, k: int, valid: Optional[jax.Array]) -> jax.Array:
     """
     sq = jnp.sum(f * f, axis=-1)
     # ||a-b||^2 = ||a||^2 + ||b||^2 - 2 a.b ; monotone in the true distance.
-    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(f, f.T, preferred_element_type=jnp.float32)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * jnp.dot(
+        f, f.T, precision=_EXACT, preferred_element_type=jnp.float32)
     if valid is not None:
         big = jnp.asarray(jnp.finfo(d2.dtype).max, d2.dtype)
         d2 = jnp.where(valid[None, :], d2, big)

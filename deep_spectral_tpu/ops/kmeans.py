@@ -30,10 +30,17 @@ class KMeansResult(NamedTuple):
 
 
 def _sq_dists(X: jax.Array, C: jax.Array) -> jax.Array:
-    """(n, k) squared euclidean distances via one MXU matmul."""
+    """(n, k) squared euclidean distances via one MXU matmul.
+
+    HIGHEST precision: XLA:TPU would otherwise run the f32 dot at bf16
+    (~4e-3 relative), flipping borderline assignments vs the sklearn-parity
+    CPU oracle (see the ops/eigen.py TPU-numerics note). These matmuls are
+    tiny (k <= ~30 columns)."""
     xn = jnp.sum(X * X, axis=1, keepdims=True)
     cn = jnp.sum(C * C, axis=1)
-    return xn + cn[None, :] - 2.0 * jnp.dot(X, C.T, preferred_element_type=jnp.float32)
+    return xn + cn[None, :] - 2.0 * jnp.dot(
+        X, C.T, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
 
 def _kmeanspp_init(key: jax.Array, X: jax.Array, k: int,
@@ -74,7 +81,8 @@ def _lloyd(X: jax.Array, centers: jax.Array, max_iter: int,
         labels = jnp.argmin(d2, axis=1)
         onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32) * vf[:, None]
         counts = jnp.sum(onehot, axis=0)
-        sums = jnp.dot(onehot.T, X, preferred_element_type=jnp.float32)
+        sums = jnp.dot(onehot.T, X, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
         new_centers = jnp.where(counts[:, None] > 0,
                                 sums / jnp.maximum(counts[:, None], 1.0),
                                 centers)
@@ -129,7 +137,10 @@ def pca(X: jax.Array, dim: int) -> jax.Array:
     (reference: extract/extract.py:574-577)."""
     X = X.astype(jnp.float32)
     Xc = X - jnp.mean(X, axis=0, keepdims=True)
-    U, S, Vt = jnp.linalg.svd(Xc, full_matrices=False)
+    # TPU svd is an expansion built on matmuls that run bf16 at DEFAULT
+    # precision; pin for sklearn-parity singular vectors (tiny matrices).
+    with jax.default_matmul_precision("highest"):
+        U, S, Vt = jnp.linalg.svd(Xc, full_matrices=False)
     # Deterministic sign convention (svd_flip-style): largest-|.| entry of each
     # right singular vector is positive. Signs are a free choice of the
     # decomposition; downstream k-means is sign-invariant in effect.
