@@ -442,14 +442,17 @@ def pick_packed_blocks(T, H, hd, block_q=None, block_k=None,
     reality runs ~40% above the naive sum (compiler temporaries), so the
     16 MB budget is checked against est * 1.4.
 
-    Two-level KV tiling: the fp32 score temporaries scale with block_k_MINOR
-    while the k/v DMA buffers scale with block_k, so shrinking the minor tile
-    (1024 -> 512 -> 256) is tried FIRST — it keeps both the q-block (grid
-    parallelism, fewer online-softmax rescales) and the KV transfer size.
-    Only then block_q and block_k halve. T=4096/H=6 now lands on
-    (512, 1024, minor 512) where the single-level kernel was forced to
-    (256, 1024); ViT-S T=1024 keeps (512, 1024) single-level; ViT-B T=4096
-    lands on (256, 1024, minor 256)."""
+    Two-level KV tiling (block_k_minor < block_k) exists because the fp32
+    score temporaries scale with the MINOR tile while the k/v DMA buffers
+    scale with block_k — but an on-hardware device-time sweep (T=3601, H=6,
+    b16, v5e) showed the minor-tile split is a net LOSS at this workload:
+    (512, 1024, m512) runs 10.89 ms vs (256, 1024) single-level at 6.68 ms
+    (47.7 TFLOP/s) — the per-subtile online-softmax rescales cost more than
+    the larger q-block saves. So the fit order is: shrink block_q FIRST
+    (keeping single-level), then block_k, and only reach for the minor tile
+    when block_q is already at its floor. T=4096/H=6 lands on (256, 1024)
+    single-level; ViT-S T=1024 keeps (512, 1024); ViT-B/8 T=4096 (H=12)
+    lands on (128, 1024) single-level."""
     bq = block_q or PACKED_BLOCK_Q
     bk = block_k or PACKED_BLOCK_K
     bkm = block_k_minor or bk
@@ -466,10 +469,14 @@ def pick_packed_blocks(T, H, hd, block_q=None, block_k=None,
     def fits():
         return _est(bq, bk, bkm) * 1.4 <= 15 * 2 ** 20
 
-    while bkm > 256 and not fits():
-        bkm //= 2
-    while bq > 128 and not fits():
-        bq //= 2
+    if block_k_minor is None:
+        while bq > 128 and not fits():
+            bq //= 2
+        while bkm > 256 and not fits():
+            bkm //= 2
+    else:  # caller forced a minor tile: honor it, fit with bq
+        while bq > 128 and not fits():
+            bq //= 2
     while bk > 256 and not fits():
         bk //= 2
         bkm = min(bkm, bk)

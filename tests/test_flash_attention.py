@@ -217,15 +217,20 @@ def test_packed_two_level_kv_tiling_matches_einsum(rng):
 def test_packed_block_guard():
     """The packed kernel's block guard keeps the tuned blocks where they fit
     and, where the scoped-VMEM budget would overflow (T=4096 at single-level
-    (512,1024) OOM'd on hardware at 16.47M/16M), shrinks the KV MINOR tile
-    first (two-level tiling: score temporaries scale with the minor tile,
-    k/v DMA with the major block) so block_q stays at 512, then q, then k."""
+    (512,1024) OOM'd on hardware at 16.47M/16M), shrinks block_q FIRST while
+    staying single-level: the on-hardware sweep (T=3601 H=6 b16 v5e) measured
+    (256,1024) single-level at 6.68 ms vs (512,1024,m512) two-level at
+    10.89 ms — the minor tile's extra online-softmax rescales cost more than
+    the larger q-block saves. The minor tile only shrinks once block_q hits
+    its 128 floor, or when the caller forces one."""
     from deep_spectral_tpu.models.flash_attention import pick_packed_blocks
     assert pick_packed_blocks(1024, 6, 64) == (512, 1024, 1024)  # vits16 @480
-    # vits8 @480: two-level tiling keeps block_q=512 (was forced to 256)
-    assert pick_packed_blocks(3601, 6, 64) == (512, 1024, 512)
+    # vits8 @480: single-level (256, 1024) — the measured-fastest config
+    assert pick_packed_blocks(3601, 6, 64) == (256, 1024, 1024)
     bq, bk, bkm = pick_packed_blocks(3601, 12, 64)               # vitb8 @480
-    assert bq <= 256 and bk <= 1024 and bkm <= 512
+    assert bq <= 256 and bk <= 1024
     assert pick_packed_blocks(1024, 12, 64)[0] <= 512            # vitb16 @480
     # explicit blocks are respected when they fit
     assert pick_packed_blocks(1024, 6, 64, 256, 512) == (256, 512, 512)
+    # a caller-forced minor tile is honored
+    assert pick_packed_blocks(3601, 6, 64, None, None, 512)[2] == 512
