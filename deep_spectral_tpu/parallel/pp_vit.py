@@ -74,6 +74,7 @@ def pp_vit_forward(
     *,
     n_microbatches: Optional[int] = None,
     axis: str = MODEL_AXIS,
+    data_axis: Optional[str] = None,
     precision: str = "fp32",
 ):
     """Pipeline-parallel full ViT forward over the `axis` mesh dimension.
@@ -81,7 +82,11 @@ def pp_vit_forward(
     Returns {"x_norm": (B, 1+N, D) fp32, "cls": (B, D) fp32} — the
     single-chip `vit_forward` semantics for the outputs the self-training
     and bbox-feature paths need. depth must divide by the axis size; B must
-    divide by n_microbatches (default: the axis size, a full pipeline)."""
+    divide by n_microbatches (default: the axis size, a full pipeline).
+
+    data_axis: optionally ALSO shard each microbatch over a second mesh
+    axis (PP x DP — the production composition): every data shard runs its
+    own pipeline over the model axis; nothing crosses the data axis."""
     if precision not in ("fp32", "bf16"):
         raise ValueError(f"precision must be 'fp32' or 'bf16', got {precision!r}")
     cfg = model.cfg
@@ -144,15 +149,25 @@ def pp_vit_forward(
             if hasattr(jax.lax, "pcast"):
                 return jax.lax.pcast(x, axis, to="varying")
             return jax.lax.pvary(x, axis)
-        out0 = _vary(jnp.zeros(mbs_r.shape, jnp.float32))
+        # zeros_like (not zeros): the carry must inherit the inputs' full
+        # varying-axis type (e.g. the data axis under PP x DP composition).
+        out0 = _vary(jnp.zeros_like(mbs_r, dtype=jnp.float32))
         cur0 = _vary(jnp.zeros_like(mbs_r[0]))
         _, out = jax.lax.fori_loop(0, M + S - 1, tick, (cur0, out0))
         # only the last stage wrote non-zeros; psum replicates the result
         return jax.lax.psum(out, axis)
 
+    if data_axis is not None and data_axis in mesh.axis_names:
+        dp = int(mesh.shape[data_axis])
+        if mb % dp:
+            raise ValueError(f"microbatch {mb} not divisible by "
+                             f"{dp}-way data axis {data_axis!r}")
+        mb_spec = P(None, data_axis)          # shard each microbatch's rows
+    else:
+        mb_spec = P()
     fn = shard_map(local, mesh=mesh,
-                   in_specs=(P(axis), P(), P()),
-                   out_specs=P())
+                   in_specs=(P(axis), mb_spec, mb_spec),
+                   out_specs=mb_spec)
     staged = jax.device_put(
         staged, jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), staged))
     out = fn(staged, mbs, mask_mb)                        # (M, mb, T, D)

@@ -75,6 +75,17 @@ def test_pp_bf16(rng, mesh, model_params):
     assert cos.min() > 0.99, cos.min()
 
 
+def test_pp_composes_with_dp(rng, mesh, model_params):
+    """PP x DP: microbatches sharded over the data axis while stages shard
+    over the model axis — the production composition."""
+    model, params = model_params
+    x = jnp.asarray(rng.standard_normal((4, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(vit_forward(model, params, x)["x_norm"])
+    got = np.asarray(pp_vit_forward(mesh, model, params, x, n_microbatches=2,
+                                    data_axis=DATA_AXIS)["x_norm"])
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
 def test_pp_rejects_bad_shapes(rng, mesh, model_params):
     model, params = model_params
     x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
