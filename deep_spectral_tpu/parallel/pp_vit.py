@@ -43,20 +43,28 @@ from .mesh import MODEL_AXIS
 from .sp_vit import _embed_tokens, _ln, _dense
 
 
-def _block_apply(x, bp, mask, dtype, num_heads):
+def _block_apply(x, bp, mask, dtype, num_heads, attn_impl="einsum",
+                 interpret=False):
     """One pre-norm transformer block, functional, full masked attention.
-    x: (mb, T, D); bp: the `blocks_i` param subtree; mask: (mb, T) bool."""
+    x: (mb, T, D); bp: the `blocks_i` param subtree; mask: (mb, T) bool.
+    attn_impl='flash' runs the packed Pallas kernel on the (mb, T, H, hd)
+    qkv layout (no transposes) — the TPU path for P=8 token counts."""
     mb, T, D = x.shape
     hd = D // num_heads
     h = _ln(x, bp["norm1"], dtype)
     qkv = _dense(h, bp["attn"]["qkv"], dtype).reshape(mb, T, 3, num_heads, hd)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]      # (mb, T, H, hd)
-    s = jnp.einsum("bthd,bshd->bhts", q, k,
-                   preferred_element_type=jnp.float32) / math.sqrt(hd)
-    s = jnp.where(mask[:, None, None, :], s, -1e30)
-    p_attn = jax.nn.softmax(s, axis=-1).astype(dtype)
-    o = jnp.einsum("bhts,bshd->bthd", p_attn, v,
-                   preferred_element_type=jnp.float32).astype(dtype)
+    if attn_impl == "flash":
+        from ..models.flash_attention import flash_attention
+        o = flash_attention(q, k, v, mask, layout="bthd",
+                            interpret=interpret).astype(dtype)
+    else:
+        s = jnp.einsum("bthd,bshd->bhts", q, k,
+                       preferred_element_type=jnp.float32) / math.sqrt(hd)
+        s = jnp.where(mask[:, None, None, :], s, -1e30)
+        p_attn = jax.nn.softmax(s, axis=-1).astype(dtype)
+        o = jnp.einsum("bhts,bshd->bthd", p_attn, v,
+                       preferred_element_type=jnp.float32).astype(dtype)
     x = x + _dense(o.reshape(mb, T, D), bp["attn"]["proj"], dtype)
     x = x + _dense(
         jax.nn.gelu(_dense(_ln(x, bp["norm2"], dtype), bp["mlp"]["fc1"], dtype),
@@ -76,6 +84,8 @@ def pp_vit_forward(
     axis: str = MODEL_AXIS,
     data_axis: Optional[str] = None,
     precision: str = "fp32",
+    attn_impl: str = "einsum",
+    interpret: bool = False,
 ):
     """Pipeline-parallel full ViT forward over the `axis` mesh dimension.
 
@@ -123,7 +133,8 @@ def pp_vit_forward(
 
         def stage_apply(x, m):
             def body(cx, bp):
-                return _block_apply(cx, bp, m, dtype, H), None
+                return _block_apply(cx, bp, m, dtype, H, attn_impl,
+                                    interpret), None
             y, _ = jax.lax.scan(body, x, my)
             return y
 
@@ -165,9 +176,11 @@ def pp_vit_forward(
         mb_spec = P(None, data_axis)          # shard each microbatch's rows
     else:
         mb_spec = P()
+    # pallas_call outputs carry no varying-mesh-axis annotation, so the
+    # flash path disables shard_map's vma check (same as ring_attention).
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(axis), mb_spec, mb_spec),
-                   out_specs=mb_spec)
+                   out_specs=mb_spec, check_vma=(attn_impl != "flash"))
     staged = jax.device_put(
         staged, jax.tree.map(lambda _: NamedSharding(mesh, P(axis)), staged))
     out = fn(staged, mbs, mask_mb)                        # (M, mb, T, D)

@@ -86,6 +86,19 @@ def test_pp_composes_with_dp(rng, mesh, model_params):
     np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
 
 
+def test_pp_flash_attention(rng, mesh, model_params):
+    """attn_impl='flash' (packed Pallas kernel per stage, interpret mode on
+    CPU) must match the einsum stages."""
+    model, params = model_params
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 3)).astype(np.float32))
+    ref = np.asarray(pp_vit_forward(mesh, model, params, x,
+                                    n_microbatches=2)["x_norm"])
+    got = np.asarray(pp_vit_forward(mesh, model, params, x, n_microbatches=2,
+                                    attn_impl="flash",
+                                    interpret=True)["x_norm"])
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=1e-4)
+
+
 def test_pp_rejects_bad_shapes(rng, mesh, model_params):
     model, params = model_params
     x = jnp.asarray(rng.standard_normal((3, 32, 32, 3)).astype(np.float32))
