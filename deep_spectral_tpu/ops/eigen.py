@@ -117,6 +117,7 @@ def laplacian_eigs(
     cheb_guard: bool = True,
     matvec_precision: str = "bf16",
     return_residual: bool = False,
+    w_scale: Optional[jax.Array] = None,
 ):
     """Smallest-K eigenpairs of the graph Laplacian of affinity W.
 
@@ -178,6 +179,16 @@ def laplacian_eigs(
     (>= 0.999 required). The iteration cap is not binding on
     image-structured graphs (tol early-exit converges in <30 iters).
 
+    w_scale: optional positive scalar c meaning "solve the graph c*W without
+            materializing it". The whitened operator D^-1/2 W D^-1/2 is
+            invariant under W -> c*W, so callers that only need W for its
+            max-normalized Laplacian (spectral_decompose's lapnorm branch)
+            can skip the full (N, N) division pass — which XLA cannot fuse
+            into the downstream dots — and pass c = 1/max(W) instead. The
+            degree clamp (d < 1e-12 -> 1) and the M-normalization both apply
+            to the SCALED graph, so results match the materialized c*W path
+            (reference semantics, extract/extract.py:194 + extract_utils.py:218).
+
     Returns (eigenvalues (K,), eigenvectors (K, N)) sorted ascending, eigenvectors
     row-major like the reference's saved dict (extract/extract.py:235, :243),
     with ARPACK's M-normalization (x^T D x = 1) when lapnorm.
@@ -187,7 +198,13 @@ def laplacian_eigs(
     if mask is not None:
         m = mask.astype(W.dtype)
         W = W * m[:, None] * m[None, :]
-    d = degree_vector(W)
+    if w_scale is None:
+        d = degree_vector(W)
+        ws = None
+    else:
+        ws = jnp.asarray(w_scale, jnp.float32)
+        d_raw = jnp.sum(W, axis=-1) * ws
+        d = jnp.where(d_raw < 1e-12, 1.0, d_raw)
 
     m_block = K + lobpcg_block_extra
     solver = _resolve_solver(N, m_block, lapnorm, solver)
@@ -195,7 +212,7 @@ def laplacian_eigs(
     if solver == "lobpcg":
         iters = lobpcg_iters if lobpcg_iters is not None else (60 if N <= 2048 else 100)
         out = _lobpcg_laplacian(W, d, K, m_block, iters, lobpcg_tol, lapnorm,
-                                mask, apply_sign_fix)
+                                mask, apply_sign_fix, w_scale=ws)
         return (*out, jnp.float32(0.0)) if return_residual else out
 
     if solver == "chebyshev":
@@ -204,7 +221,7 @@ def laplacian_eigs(
         evals, vectors, res = _chebyshev_laplacian(
             W, d, K, m_block, cheb_outer, cheb_degree, mask, apply_sign_fix,
             matvec_dtype=(jnp.float32 if matvec_precision == "f32"
-                          else jnp.bfloat16))
+                          else jnp.bfloat16), w_scale=ws)
         if return_residual:
             return evals, vectors, res
         if not cheb_guard:
@@ -214,23 +231,28 @@ def laplacian_eigs(
         # for unbatched calls (localization drivers etc.); batched callers
         # use return_residual + host-side per-image fallback instead.
         dense = partial(_dense_laplacian, W, d, K, lapnorm, mask,
-                        apply_sign_fix)
+                        apply_sign_fix, w_scale=ws)
         ok = res <= CHEB_RESIDUAL_TOL  # False for NaN residuals too
         return jax.lax.cond(ok, lambda: (evals, vectors), dense)
 
-    out = _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix)
+    out = _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix, w_scale=ws)
     return (*out, jnp.float32(0.0)) if return_residual else out
 
 
-def _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix):
-    """Exact dense eigh path: whitened operator when lapnorm, else D - W."""
+def _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix, w_scale=None):
+    """Exact dense eigh path: whitened operator when lapnorm, else D - W.
+
+    w_scale folds the deferred max-normalization (W -> w_scale*W) into the
+    whitening scaling / the D - W fusion — one elementwise epilogue either
+    way, never a separate (N, N) pass."""
     N = W.shape[-1]
     if lapnorm:
         inv_sqrt_d = jax.lax.rsqrt(d)
-        A = -(inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :])
+        s = inv_sqrt_d if w_scale is None else inv_sqrt_d * jnp.sqrt(w_scale)
+        A = -(s[:, None] * W * s[None, :])
         A = A + jnp.eye(N, dtype=W.dtype)
     else:
-        A = jnp.diag(d) - W
+        A = jnp.diag(d) - (W if w_scale is None else W * w_scale)
     evals, evecs = _pad_aware_eigh(A, mask)
     evals = evals[:K]
     V = evecs[:, :K]
@@ -244,31 +266,35 @@ def _dense_laplacian(W, d, K, lapnorm, mask, apply_sign_fix):
     return evals, vectors
 
 
-def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fix):
+def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fix,
+                      w_scale=None):
     """Block LOBPCG for the smallest-K Laplacian eigenpairs: largest-K of the
     shifted operator (cI - A) with Gershgorin bound c; block size K + extra for
     faster separation of the wanted subspace. Masked (padded) rows stay exactly
     zero throughout the iteration (zero start block + zero matvec rows).
     `iters` caps the iteration count; `tol` enables residual-based early exit
-    inside lobpcg_standard's while_loop (all block columns converged)."""
+    inside lobpcg_standard's while_loop (all block columns converged).
+    w_scale: deferred max-normalization (see laplacian_eigs) folded into the
+    whitening scalings — the scaled graph is never materialized."""
     from jax.experimental.sparse.linalg import lobpcg_standard
 
     N = W.shape[-1]
     if lapnorm:
         inv_sqrt_d = jax.lax.rsqrt(d)
-        offdiag = jnp.sum(jnp.abs(inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]),
-                          axis=1)
+        s = inv_sqrt_d if w_scale is None else inv_sqrt_d * jnp.sqrt(w_scale)
+        offdiag = jnp.sum(jnp.abs(s[:, None] * W * s[None, :]), axis=1)
         c = 1.0 + jnp.max(offdiag)
 
         def mv(X):
-            WX = jnp.dot(W, inv_sqrt_d[:, None] * X, precision=_EXACT,
+            WX = jnp.dot(W, s[:, None] * X, precision=_EXACT,
                          preferred_element_type=jnp.float32)
-            return (c - 1.0) * X + inv_sqrt_d[:, None] * WX
+            return (c - 1.0) * X + s[:, None] * WX
     else:
-        c = jnp.max(d + jnp.sum(jnp.abs(W), axis=1)) + 1.0
+        wsc = 1.0 if w_scale is None else w_scale
+        c = jnp.max(d + wsc * jnp.sum(jnp.abs(W), axis=1)) + 1.0
 
         def mv(X):
-            return (c * jnp.ones_like(d) - d)[:, None] * X + jnp.dot(
+            return (c * jnp.ones_like(d) - d)[:, None] * X + wsc * jnp.dot(
                 W, X, precision=_EXACT, preferred_element_type=jnp.float32)
 
     X0 = jax.random.normal(jax.random.PRNGKey(0), (N, m_block), jnp.float32)
@@ -291,7 +317,8 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
 
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
-                         apply_sign_fix, matvec_dtype=jnp.bfloat16):
+                         apply_sign_fix, matvec_dtype=jnp.bfloat16,
+                         w_scale=None):
     """Chebyshev-filtered subspace iteration for the smallest-K eigenpairs of
     the WHITENED Laplacian (lapnorm=True only) — the 'auto' default for
     lapnorm graphs with N in [512, 2048], residual-guarded (see below).
@@ -320,10 +347,14 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     """
     N = W.shape[-1]
     inv_sqrt_d = jax.lax.rsqrt(d)
+    # Deferred max-normalization (see laplacian_eigs): fold sqrt(w_scale) into
+    # the whitening scaling so the scaled graph is never materialized. The
+    # final unwhitening below still uses inv_sqrt_d of the (scaled) degrees.
+    sc = inv_sqrt_d if w_scale is None else inv_sqrt_d * jnp.sqrt(w_scale)
 
     def A_mv(X):  # I - D^-1/2 W D^-1/2, exact f32 (RR + residual check)
-        return X - inv_sqrt_d[:, None] * jnp.dot(
-            W, inv_sqrt_d[:, None] * X, precision=_EXACT,
+        return X - sc[:, None] * jnp.dot(
+            W, sc[:, None] * X, precision=_EXACT,
             preferred_element_type=jnp.float32)
 
     # Filter matvecs in bf16 with f32 accumulation: the MXU's native mode
@@ -334,9 +365,9 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     # f32 — a bf16-degraded filter only slows convergence, and the residual
     # guard rejects anything that didn't converge (CHEB_RESIDUAL_TOL).
     if matvec_dtype == jnp.float32:
-        S_fast = inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]
+        S_fast = sc[:, None] * W * sc[None, :]
     else:
-        S_fast = (inv_sqrt_d[:, None] * W * inv_sqrt_d[None, :]).astype(matvec_dtype)
+        S_fast = (sc[:, None] * W * sc[None, :]).astype(matvec_dtype)
 
     def A_mv_fast(X):
         # bf16 operator: DEFAULT (one MXU pass) is exactly bf16 compute, as
@@ -363,11 +394,22 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         w, Vg = jnp.linalg.eigh(G)
         Xo = jnp.dot(X, Vg / jnp.sqrt(jnp.maximum(w, 1e-12))[None, :],
                      precision=_EXACT, preferred_element_type=jnp.float32)
-        T = jnp.dot(Xo.T, A_mv(Xo), precision=_EXACT,
+        AXo = A_mv(Xo)
+        T = jnp.dot(Xo.T, AXo, precision=_EXACT,
                     preferred_element_type=jnp.float32)
         theta, Q = jnp.linalg.eigh((T + T.T) / 2)
-        return jnp.dot(Xo, Q, precision=_EXACT,
-                       preferred_element_type=jnp.float32), theta
+        Xr = jnp.dot(Xo, Q, precision=_EXACT,
+                     preferred_element_type=jnp.float32)
+        # Convergence residual of the wanted K pairs, nearly free as an RR
+        # byproduct: A (Xo Q) = (A Xo) Q, and A Xo was already computed for
+        # the projection. Exact f32 throughout; non-finite (filter blow-up
+        # when lam_K > window) -> +inf so callers always reject it.
+        AXr = jnp.dot(AXo, Q, precision=_EXACT,
+                      preferred_element_type=jnp.float32)
+        R = AXr[:, :K] - Xr[:, :K] * theta[:K][None, :]
+        res = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)))
+        res = jnp.where(jnp.isfinite(res), res, jnp.inf)
+        return Xr, theta, res
 
     # window estimate: short power iteration on (2I - A), then one RR. The
     # Rayleigh quotients overestimate the true smallest eigenvalues, so
@@ -375,7 +417,7 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     for _ in range(3):
         X = 2.0 * X - A_mv_fast(X)
         X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
-    X, theta = rr(X)
+    X, theta, res = rr(X)
     lam_cut = jnp.clip(theta[K - 1] * 1.5 + 1e-3, 1e-3, 1.8)
 
     c = (lam_cut + 2.0) / 2.0
@@ -389,17 +431,28 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
             T0, T1 = T1, T2
         return T1
 
-    for _ in range(n_outer):
-        X, theta = rr(filt(X))
+    # Adaptive outer loop: exit as soon as the wanted-pair residual clears
+    # the guard with margin (easy image graphs converge after 1-2 of the
+    # n_outer budgeted filter applications — each skipped outer saves
+    # `degree` streams of the (N, N) operator, the dominant cost at large
+    # N). The residual is an RR byproduct (see rr), so the check is free;
+    # non-finite spectra give res=inf and run the full budget, then fail
+    # the guard. Under vmap the loop runs until every lane converges (the
+    # batch pays the slowest image, still <= the old fixed budget).
+    def outer_cond(carry):
+        _, _, res, i = carry
+        return (i < n_outer) & (res > 0.5 * CHEB_RESIDUAL_TOL)
+
+    def outer_body(carry):
+        X, _, _, i = carry
+        X, theta, res = rr(filt(X))
+        return X, theta, res, i + 1
+
+    X, theta, res, _ = jax.lax.while_loop(
+        outer_cond, outer_body, (X, theta, res, jnp.int32(0)))
 
     evals = theta[:K]
     Xk = X[:, :K]
-    # Convergence residual on the whitened operator (one extra block matvec):
-    # Xk columns are orthonormal post-RR and ||A|| <= 2, so the residual is
-    # scale-free. Non-finite (filter blow-up when lam_K > window) -> +inf.
-    R = A_mv(Xk) - Xk * evals[None, :]
-    res = jnp.max(jnp.sqrt(jnp.sum(R * R, axis=0)))
-    res = jnp.where(jnp.isfinite(res), res, jnp.inf)
     V = inv_sqrt_d[:, None] * Xk         # unwhiten: x^T D x = 1 (ARPACK M-norm)
     vectors = V.T
     if mask is not None:
@@ -486,14 +539,28 @@ def spectral_decompose(
     laplacian_eigs) so batched callers can do per-image fallback.
     """
     if which_matrix in ("laplacian", "matting_laplacian"):
+        if color_W is not None and image_color_lambda > 0:
+            # Color fusion needs the max-normalized W_feat materialized
+            # (W = W_feat/max + lambda*W_color, extract/extract.py:221).
+            W = feature_affinity(
+                feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
+                max_normalize=True, mask=mask,
+            )
+            W = W + color_W.astype(W.dtype) * image_color_lambda
+            return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask,
+                                  solver=solver,
+                                  return_residual=return_residual)
+        # No fusion: defer the max-normalization into the solver's whitening
+        # scalings (w_scale) — skips a full (N, N) divide pass that XLA
+        # cannot fuse into the downstream dot operands.
         W = feature_affinity(
             feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
-            max_normalize=True, mask=mask,
+            max_normalize=False, mask=mask,
         )
-        if color_W is not None and image_color_lambda > 0:
-            W = W + color_W.astype(W.dtype) * image_color_lambda
+        w_scale = 1.0 / jnp.maximum(jnp.max(W), 1e-12)
         return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver,
-                              return_residual=return_residual)
+                              return_residual=return_residual,
+                              w_scale=w_scale)
     if which_matrix in ("affinity", "affinity_torch"):
         W = feature_affinity(
             feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
