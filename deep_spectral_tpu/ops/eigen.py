@@ -115,6 +115,7 @@ def laplacian_eigs(
     cheb_outer: int = 4,
     cheb_degree: int = 10,
     cheb_guard: bool = True,
+    cheb_filter_impl: str = "xla",
     matvec_precision: str = "bf16",
     return_residual: bool = False,
     w_scale: Optional[jax.Array] = None,
@@ -152,6 +153,13 @@ def laplacian_eigs(
     cheb_outer / cheb_degree: chebyshev filter budget (outer iterations x
             polynomial degree); defaults validated in tests. Exposed mainly
             so tests can force under-convergence to exercise the guard.
+    cheb_filter_impl: 'xla' — the filter chain as XLA dots (each matvec
+            streams the (N, N) operator from HBM); 'pallas' — the
+            VMEM-resident kernel (ops/cheb_filter.py): one operator read
+            per degree-d chain instead of d. Identical math (same guard
+            applies); requires matvec_precision='bf16' and the operator to
+            fit VMEM (falls back to 'xla' otherwise). On non-TPU backends
+            'pallas' runs the kernel in interpret mode (tests).
     matvec_precision: 'bf16' (default) runs the chebyshev filter's matvec
             chains with a bf16 operator and f32 accumulation — the MXU's
             native mode; Rayleigh-Ritz, the window estimate and the residual
@@ -221,7 +229,8 @@ def laplacian_eigs(
         evals, vectors, res = _chebyshev_laplacian(
             W, d, K, m_block, cheb_outer, cheb_degree, mask, apply_sign_fix,
             matvec_dtype=(jnp.float32 if matvec_precision == "f32"
-                          else jnp.bfloat16), w_scale=ws)
+                          else jnp.bfloat16), w_scale=ws,
+            filter_impl=cheb_filter_impl)
         if return_residual:
             return evals, vectors, res
         if not cheb_guard:
@@ -318,7 +327,7 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
                          apply_sign_fix, matvec_dtype=jnp.bfloat16,
-                         w_scale=None):
+                         w_scale=None, filter_impl="xla"):
     """Chebyshev-filtered subspace iteration for the smallest-K eigenpairs of
     the WHITENED Laplacian (lapnorm=True only) — the 'auto' default for
     lapnorm graphs with N in [512, 2048], residual-guarded (see below).
@@ -423,13 +432,27 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     c = (lam_cut + 2.0) / 2.0
     e = (2.0 - lam_cut) / 2.0
 
-    def filt(X):
-        T0 = X
-        T1 = (A_mv_fast(X) - c * X) / e
-        for _ in range(degree - 1):
-            T2 = 2.0 * (A_mv_fast(T1) - c * T1) / e - T0
-            T0, T1 = T1, T2
-        return T1
+    use_pallas = filter_impl == "pallas" and matvec_dtype == jnp.bfloat16
+    if use_pallas:
+        from .cheb_filter import chebyshev_filter, fits_vmem
+        use_pallas = fits_vmem(N, matvec_dtype)
+    if use_pallas:
+        # VMEM-resident chain: ONE HBM read of the operator per degree-d
+        # filter application instead of d (ops/cheb_filter.py). Interpret
+        # mode off-TPU so CPU tests exercise the same code path.
+        interp = jax.default_backend() != "tpu"
+
+        def filt(X):
+            return chebyshev_filter(S_fast, X, c, e, degree=degree,
+                                    interpret=interp)
+    else:
+        def filt(X):
+            T0 = X
+            T1 = (A_mv_fast(X) - c * X) / e
+            for _ in range(degree - 1):
+                T2 = 2.0 * (A_mv_fast(T1) - c * T1) / e - T0
+                T0, T1 = T1, T2
+            return T1
 
     # Adaptive outer loop: exit as soon as the wanted-pair residual clears
     # the guard with margin (easy image graphs converge after 1-2 of the
@@ -524,6 +547,7 @@ def spectral_decompose(
     image_color_lambda: float = 0.0,
     mask: Optional[jax.Array] = None,
     solver: str = "auto",
+    cheb_filter_impl: str = "xla",
     return_residual: bool = False,
 ):
     """Fused end-to-end spectral decomposition of one image's patch features.
@@ -549,6 +573,7 @@ def spectral_decompose(
             W = W + color_W.astype(W.dtype) * image_color_lambda
             return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask,
                                   solver=solver,
+                                  cheb_filter_impl=cheb_filter_impl,
                                   return_residual=return_residual)
         # No fusion: defer the max-normalization into the solver's whitening
         # scalings (w_scale) — skips a full (N, N) divide pass that XLA
@@ -559,6 +584,7 @@ def spectral_decompose(
         )
         w_scale = 1.0 / jnp.maximum(jnp.max(W), 1e-12)
         return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver,
+                              cheb_filter_impl=cheb_filter_impl,
                               return_residual=return_residual,
                               w_scale=w_scale)
     if which_matrix in ("affinity", "affinity_torch"):
@@ -577,7 +603,7 @@ def spectral_decompose(
 
 @partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
                                    "lapnorm", "image_color_lambda", "solver",
-                                   "return_residual"))
+                                   "cheb_filter_impl", "return_residual"))
 def spectral_decompose_batched(
     feats: jax.Array,
     masks: Optional[jax.Array] = None,
@@ -590,6 +616,7 @@ def spectral_decompose_batched(
     lapnorm: bool = True,
     image_color_lambda: float = 0.0,
     solver: str = "auto",
+    cheb_filter_impl: str = "xla",
     return_residual: bool = False,
 ):
     """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).
@@ -606,7 +633,8 @@ def spectral_decompose_batched(
             f, K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             color_W=cw, image_color_lambda=image_color_lambda, mask=m,
-            solver=slv, return_residual=True,
+            solver=slv, cheb_filter_impl=cheb_filter_impl,
+            return_residual=True,
         )
     if masks is None:
         masks = jnp.ones(feats.shape[:2], dtype=bool)

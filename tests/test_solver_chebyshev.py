@@ -201,3 +201,44 @@ def test_batched_return_residual_shapes():
         jnp.asarray(feats), K=K, which_matrix="affinity_svd",
         return_residual=True)
     assert np.all(np.asarray(res_svd) == 0.0)
+
+
+def test_pallas_filter_matches_xla_filter():
+    """The VMEM-resident Pallas filter chain (ops/cheb_filter.py, interpret
+    mode on CPU) must reproduce the XLA dot-chain solve: same math, same
+    residuals, same subspace."""
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+
+    K = 5
+    feats = np.stack([_smooth_features(np.random.default_rng(10 + i), 27, 27)
+                      for i in range(3)])
+    ev_x, V_x, res_x = spectral_decompose_batched(
+        jnp.asarray(feats), K=K, solver="chebyshev", return_residual=True)
+    ev_p, V_p, res_p = spectral_decompose_batched(
+        jnp.asarray(feats), K=K, solver="chebyshev",
+        cheb_filter_impl="pallas", return_residual=True)
+    assert np.all(np.asarray(res_p) < 2e-3)
+    np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_x),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ev_p), np.asarray(ev_x),
+                               atol=1e-5, rtol=1e-4)
+    for b in range(3):
+        assert _subspace_cos(np.asarray(V_p)[b], np.asarray(V_x)[b]) > 0.99999
+
+
+def test_pallas_filter_vmem_fallback():
+    """Operators too large for VMEM must silently take the XLA chain (the
+    'pallas' request is a hint, not a contract)."""
+    from deep_spectral_tpu.ops import cheb_filter
+
+    assert cheb_filter.fits_vmem(900)
+    assert cheb_filter.fits_vmem(2048)
+    assert not cheb_filter.fits_vmem(3600)
+    # f32 operator: pallas requires bf16 matvecs -> falls back, still solves
+    feats = _smooth_features(np.random.default_rng(2), 24, 24)
+    W = feature_affinity(jnp.asarray(feats))
+    ev, V, res = laplacian_eigs(W, 5, solver="chebyshev",
+                                cheb_filter_impl="pallas",
+                                matvec_precision="f32",
+                                apply_sign_fix=False, return_residual=True)
+    assert float(res) < 2e-3
