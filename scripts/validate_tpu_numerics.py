@@ -64,17 +64,21 @@ def main():
         mask = jnp.ones((batch, grid * grid), bool)
         _, vec_e = spectral_decompose_batched(feats, mask, K=5, solver="eigh")
         vec_e = np.asarray(vec_e)
-        for slv in ("chebyshev", "lobpcg"):
+        variants = [("chebyshev", "xla"), ("lobpcg", "xla")]
+        if N <= 2048:
+            variants.append(("chebyshev", "pallas"))  # VMEM-resident filter
+        for slv, impl in variants:
             out = spectral_decompose_batched(feats, mask, K=5, solver=slv,
+                                             cheb_filter_impl=impl,
                                              return_residual=True)
             res = float(np.asarray(out[2]).max())
             vec = np.asarray(out[1])
             cos = min(subcos(vec[b][1:], vec_e[b][1:]) for b in range(batch))
             ok = (slv == "lobpcg" or res <= CHEB_RESIDUAL_TOL) and cos >= 0.999
-            print(f"[2] N={N} {slv}: res_max={res:.2e} subcos_min={cos:.6f} "
-                  f"{'OK' if ok else 'FAIL'}")
+            print(f"[2] N={N} {slv}[{impl}]: res_max={res:.2e} "
+                  f"subcos_min={cos:.6f} {'OK' if ok else 'FAIL'}")
             if not ok:
-                failures.append(f"{slv}@{N}")
+                failures.append(f"{slv}[{impl}]@{N}")
 
     # -- 3. the residual guard must REJECT a deliberately under-budgeted
     #       solve (1 outer x degree-2 filter cannot converge at N=900) —
