@@ -56,10 +56,21 @@ def _cheb_kernel(ce_ref, s_ref, x_ref, o_ref, *, degree):
                      preferred_element_type=jnp.float32)
         return ((1.0 - c) * t - st) * inv_e
 
+    def rescale(t0, t1):
+        # Joint per-column shrink: the recurrence is linear and per-column
+        # independent, so scaling (T_{j-1}, T_j) of one column by the same
+        # positive factor scales the whole chain's output — which the
+        # caller's Rayleigh-Ritz normalizes away. Keeps |T_j| ~ 1 so long
+        # chains cannot overflow f32 (|T_d| at the bottom of a tight window
+        # reaches ~1e15 at d=10 and overflows by d~30 unscaled).
+        m = jnp.max(jnp.abs(t1), axis=0, keepdims=True)
+        sc = 1.0 / jnp.maximum(m, 1.0)
+        return t0 * sc, t1 * sc
+
     t0 = x
     t1 = a_shift(x)
     for _ in range(degree - 1):
-        t0, t1 = t1, 2.0 * a_shift(t1) - t0
+        t0, t1 = rescale(t1, 2.0 * a_shift(t1) - t0)
     o_ref[...] = t1
 
 

@@ -115,7 +115,7 @@ def laplacian_eigs(
     cheb_outer: int = 4,
     cheb_degree: int = 10,
     cheb_guard: bool = True,
-    cheb_filter_impl: str = "xla",
+    cheb_filter_impl: str = "auto",
     matvec_precision: str = "bf16",
     return_residual: bool = False,
     w_scale: Optional[jax.Array] = None,
@@ -156,10 +156,13 @@ def laplacian_eigs(
     cheb_filter_impl: 'xla' — the filter chain as XLA dots (each matvec
             streams the (N, N) operator from HBM); 'pallas' — the
             VMEM-resident kernel (ops/cheb_filter.py): one operator read
-            per degree-d chain instead of d. Identical math (same guard
-            applies); requires matvec_precision='bf16' and the operator to
-            fit VMEM (falls back to 'xla' otherwise). On non-TPU backends
-            'pallas' runs the kernel in interpret mode (tests).
+            per degree-d chain instead of d. Same math up to the window
+            estimate (same residual guard applies); requires
+            matvec_precision='bf16' and the operator to fit VMEM (falls
+            back to 'xla' otherwise). 'auto' (default) resolves to 'pallas'
+            on TPU and 'xla' elsewhere (off-TPU the kernel only runs in
+            slow interpret mode, kept for tests that pass 'pallas'
+            explicitly).
     matvec_precision: 'bf16' (default) runs the chebyshev filter's matvec
             chains with a bf16 operator and f32 accumulation — the MXU's
             native mode; Rayleigh-Ritz, the window estimate and the residual
@@ -394,10 +397,12 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         # TPU eigh hazard (measured on v5e): XLA's eigh expansion silently
         # returns diag(G) (V = permutation, 59% residual!) when entries reach
         # ~1e21 — its internal squares overflow f32 and no Jacobi rotation
-        # fires. The degree-10 filter grows column norms to ~1e10 (Gram
-        # ~1e20), exactly that regime, which collapsed the whole solve on
-        # TPU while CPU (LAPACK) was fine. Normalize columns first: the
-        # span — all RR needs — is unchanged, and Gram entries stay <= 1.
+        # fires. An unscaled degree-10 filter grows column norms to ~1e10
+        # (Gram ~1e20), exactly that regime, which collapsed the whole solve
+        # on TPU while CPU (LAPACK) was fine. The filter chains now rescale
+        # per column each step (|T_j| ~ 1), but normalize here too as
+        # defense in depth — the span (all RR needs) is unchanged, and Gram
+        # entries stay <= 1 for any input.
         X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
         G = jnp.dot(X.T, X, precision=_EXACT, preferred_element_type=jnp.float32)
         w, Vg = jnp.linalg.eigh(G)
@@ -420,38 +425,62 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         res = jnp.where(jnp.isfinite(res), res, jnp.inf)
         return Xr, theta, res
 
-    # window estimate: short power iteration on (2I - A), then one RR. The
-    # Rayleigh quotients overestimate the true smallest eigenvalues, so
-    # 1.5x theta_K safely contains the wanted window.
-    for _ in range(3):
-        X = 2.0 * X - A_mv_fast(X)
-        X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
-    X, theta, res = rr(X)
-    lam_cut = jnp.clip(theta[K - 1] * 1.5 + 1e-3, 1e-3, 1.8)
-
-    c = (lam_cut + 2.0) / 2.0
-    e = (2.0 - lam_cut) / 2.0
-
     use_pallas = filter_impl == "pallas" and matvec_dtype == jnp.bfloat16
     if use_pallas:
         from .cheb_filter import chebyshev_filter, fits_vmem
         use_pallas = fits_vmem(N, matvec_dtype)
+    interp = jax.default_backend() != "tpu"
+
+    # window estimate: a degree-3 bottom-emphasizing filter, then one RR. The
+    # Rayleigh quotients overestimate the true smallest eigenvalues, so
+    # 1.5x theta_K safely contains the wanted window.
+    if use_pallas:
+        # Same kernel as the main chain with (c, e) = (2, 1): T_3(A - 2I)
+        # magnifies the bottom of [0, 2] like the (2I - A)^3 power steps
+        # (|T_3|: 26 at lam=0 -> 0 at lam=2) — one HBM read of the operator
+        # instead of 3. Growth <= 26x, safe in f32; rr column-normalizes.
+        X = chebyshev_filter(S_fast, X, 2.0, 1.0, degree=3, interpret=interp)
+    else:
+        for _ in range(3):
+            X = 2.0 * X - A_mv_fast(X)
+            X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
+    X, theta, res = rr(X)
+
+    def window(theta):
+        # Filter window [lam_cut, 2]: damp everything above lam_cut, amplify
+        # below. RR Rayleigh quotients OVERESTIMATE the true eigenvalues
+        # (Cauchy interlacing: theta_k >= lam_k for an orthonormal basis), so
+        # 1.5x theta_K always contains the wanted band — recomputing the
+        # window from the latest theta each outer iteration tightens the
+        # filter as the estimates converge downward (measured on 64 CPU
+        # image-graphs: 55/64 converge in 2 outers and all by 3, vs
+        # {2: 13, 3: 46, 4: 5} with the fixed initial window — the vmapped
+        # batch-max outer count drops 4 -> 3).
+        lam_cut = jnp.clip(theta[K - 1] * 1.5 + 1e-3, 1e-3, 1.8)
+        return (lam_cut + 2.0) / 2.0, (2.0 - lam_cut) / 2.0
+
     if use_pallas:
         # VMEM-resident chain: ONE HBM read of the operator per degree-d
         # filter application instead of d (ops/cheb_filter.py). Interpret
         # mode off-TPU so CPU tests exercise the same code path.
-        interp = jax.default_backend() != "tpu"
 
-        def filt(X):
+        def filt(X, c, e):
             return chebyshev_filter(S_fast, X, c, e, degree=degree,
                                     interpret=interp)
     else:
-        def filt(X):
+        def filt(X, c, e):
+            # Joint per-column rescale each step (exact up to the per-column
+            # scale rr normalizes away): keeps |T_j| ~ 1 so long/tight-window
+            # chains cannot overflow f32 — same scheme as the Pallas kernel
+            # (ops/cheb_filter.py). Cost: one (N, m) VPU pass per matvec,
+            # fused by XLA, negligible against the (N, N) operator read.
             T0 = X
             T1 = (A_mv_fast(X) - c * X) / e
             for _ in range(degree - 1):
                 T2 = 2.0 * (A_mv_fast(T1) - c * T1) / e - T0
-                T0, T1 = T1, T2
+                sc = 1.0 / jnp.maximum(
+                    jnp.max(jnp.abs(T2), axis=0, keepdims=True), 1.0)
+                T0, T1 = T1 * sc, T2 * sc
             return T1
 
     # Adaptive outer loop: exit as soon as the wanted-pair residual clears
@@ -467,8 +496,9 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         return (i < n_outer) & (res > 0.5 * CHEB_RESIDUAL_TOL)
 
     def outer_body(carry):
-        X, _, _, i = carry
-        X, theta, res = rr(filt(X))
+        X, theta, _, i = carry
+        c, e = window(theta)
+        X, theta, res = rr(filt(X, c, e))
         return X, theta, res, i + 1
 
     X, theta, res, _ = jax.lax.while_loop(
@@ -547,7 +577,7 @@ def spectral_decompose(
     image_color_lambda: float = 0.0,
     mask: Optional[jax.Array] = None,
     solver: str = "auto",
-    cheb_filter_impl: str = "xla",
+    cheb_filter_impl: str = "auto",
     return_residual: bool = False,
 ):
     """Fused end-to-end spectral decomposition of one image's patch features.
@@ -616,7 +646,7 @@ def spectral_decompose_batched(
     lapnorm: bool = True,
     image_color_lambda: float = 0.0,
     solver: str = "auto",
-    cheb_filter_impl: str = "xla",
+    cheb_filter_impl: str = "auto",
     return_residual: bool = False,
 ):
     """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).

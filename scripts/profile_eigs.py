@@ -23,6 +23,8 @@ def main():
     ap.add_argument("--n", type=int, default=3600)
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--solver", default="chebyshev")
+    ap.add_argument("--filter-impl", default="xla",
+                    choices=["xla", "pallas"])
     ap.add_argument("--K", type=int, default=5)
     ap.add_argument("--trace-dir", default="/tmp/eigs_trace")
     a = ap.parse_args()
@@ -39,6 +41,7 @@ def main():
 
     def run():
         return spectral_decompose_batched(feats, mask, K=a.K, solver=a.solver,
+                                          cheb_filter_impl=a.filter_impl,
                                           return_residual=True)
 
     out = run()
@@ -51,7 +54,7 @@ def main():
         for o in outs:
             _ = np.asarray(o[1])
     wall = (time.time() - t0) / n
-    print(f"eigs[{a.solver}] N={a.n} b{a.batch}: {wall*1e3:.1f} ms wall/call "
+    print(f"eigs[{a.solver}/{a.filter_impl}] N={a.n} b{a.batch}: {wall*1e3:.1f} ms wall/call "
           f"(incl. per-call tunnel RPC; see device total below)")
 
     fs = sorted(glob.glob(f"{a.trace_dir}/plugins/profile/*/*.trace.json.gz"))

@@ -205,9 +205,13 @@ def test_batched_return_residual_shapes():
 
 def test_pallas_filter_matches_xla_filter():
     """The VMEM-resident Pallas filter chain (ops/cheb_filter.py, interpret
-    mode on CPU) must reproduce the XLA dot-chain solve: same math, same
-    residuals, same subspace."""
-    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+    mode on CPU) must converge to the XLA dot-chain solve's answer: same
+    eigenpairs within solver tolerance. (The paths are not bitwise-identical:
+    the pallas solve estimates the filter window with one degree-3 chain
+    instead of three normalized power steps, so per-image residuals differ —
+    both must still clear the convergence guard.)"""
+    from deep_spectral_tpu.ops.eigen import (CHEB_RESIDUAL_TOL,
+                                             spectral_decompose_batched)
 
     K = 5
     feats = np.stack([_smooth_features(np.random.default_rng(10 + i), 27, 27)
@@ -217,13 +221,12 @@ def test_pallas_filter_matches_xla_filter():
     ev_p, V_p, res_p = spectral_decompose_batched(
         jnp.asarray(feats), K=K, solver="chebyshev",
         cheb_filter_impl="pallas", return_residual=True)
-    assert np.all(np.asarray(res_p) < 2e-3)
-    np.testing.assert_allclose(np.asarray(res_p), np.asarray(res_x),
-                               atol=1e-5)
+    assert np.all(np.asarray(res_p) < CHEB_RESIDUAL_TOL)
+    assert np.all(np.asarray(res_x) < CHEB_RESIDUAL_TOL)
     np.testing.assert_allclose(np.asarray(ev_p), np.asarray(ev_x),
-                               atol=1e-5, rtol=1e-4)
+                               atol=1e-4, rtol=1e-3)
     for b in range(3):
-        assert _subspace_cos(np.asarray(V_p)[b], np.asarray(V_x)[b]) > 0.99999
+        assert _subspace_cos(np.asarray(V_p)[b], np.asarray(V_x)[b]) > 0.9999
 
 
 def test_pallas_filter_vmem_fallback():
@@ -242,3 +245,23 @@ def test_pallas_filter_vmem_fallback():
                                 matvec_precision="f32",
                                 apply_sign_fix=False, return_residual=True)
     assert float(res) < 2e-3
+
+
+def test_long_chain_rescale_no_overflow():
+    """The filter chains rescale (T_{j-1}, T_j) jointly per column each step,
+    so arbitrarily long / tight-window chains stay finite in f32 (unscaled,
+    |T_d| at the bottom of a width-0.2 window passes 1e15 by d=10 and
+    overflows f32 around d~30). High degree may still under-converge (basis
+    collapse onto the dominant eigendirection between orthonormalizations) —
+    that is exactly what the residual guard is for — but the residual itself
+    must be finite so the guard can act on it, for BOTH filter impls."""
+    from deep_spectral_tpu.ops.eigen import laplacian_eigs
+
+    feats = _smooth_features(np.random.default_rng(7), 27, 27)
+    W = feature_affinity(jnp.asarray(feats))
+    for impl in ("xla", "pallas"):
+        ev, V, res = laplacian_eigs(
+            W, 5, solver="chebyshev", cheb_outer=1, cheb_degree=48,
+            cheb_filter_impl=impl, apply_sign_fix=False, return_residual=True)
+        assert np.isfinite(float(res)), impl
+        assert np.isfinite(np.asarray(V)).all(), impl
