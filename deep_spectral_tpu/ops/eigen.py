@@ -454,8 +454,9 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         # window from the latest theta each outer iteration tightens the
         # filter as the estimates converge downward (measured on 64 CPU
         # image-graphs: 55/64 converge in 2 outers and all by 3, vs
-        # {2: 13, 3: 46, 4: 5} with the fixed initial window — the vmapped
-        # batch-max outer count drops 4 -> 3).
+        # {2: 13, 3: 46, 4: 5} with the fixed initial window — with the
+        # at-tol early exit below, the vmapped batch-max outer count drops
+        # 4 -> 3).
         lam_cut = jnp.clip(theta[K - 1] * 1.5 + 1e-3, 1e-3, 1.8)
         return (lam_cut + 2.0) / 2.0, (2.0 - lam_cut) / 2.0
 
@@ -493,7 +494,13 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
     # batch pays the slowest image, still <= the old fixed budget).
     def outer_cond(carry):
         _, _, res, i = carry
-        return (i < n_outer) & (res > 0.5 * CHEB_RESIDUAL_TOL)
+        # Exit exactly at the guard's own threshold: a lane at res <= tol
+        # already passes the caller-side convergence check, so one more
+        # outer buys nothing (a tighter 0.5x margin kept whole batches
+        # running a 4th outer for lanes already in [tol/2, tol] — measured
+        # trip dist on 64 CPU image-graphs: {2: 43, 3: 20, 4: 1} at 0.5x
+        # vs {2: 55, 3: 9} at 1.0x with the adaptive window).
+        return (i < n_outer) & (res > CHEB_RESIDUAL_TOL)
 
     def outer_body(carry):
         X, theta, _, i = carry
