@@ -84,12 +84,16 @@ def _structured_features(batch: int, grid: int, D: int, rng) -> np.ndarray:
     return feats
 
 
-def measure_tpu(batch: int = BATCH) -> tuple[float, float, float]:
+def measure_tpu(batch: int = BATCH,
+                cheb_filter_impl: str = "auto") -> tuple[float, float, float]:
     import jax
     import jax.numpy as jnp
     from deep_spectral_tpu.models.convert import load_params
     from deep_spectral_tpu.models.vit import extract_patch_keys
-    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched as _sdb
+    from functools import partial as _partial
+    spectral_decompose_batched = _partial(_sdb,
+                                          cheb_filter_impl=cheb_filter_impl)
 
     model, params = load_params("dino_vits16", precision="bf16")
     n_tokens = (H // 16) * (W // 16)
@@ -235,7 +239,19 @@ def main():
         BASELINE_CACHE.write_text(json.dumps(
             {"images_per_sec": baseline,
              "method": "torch-cpu vits16 fwd bs=1 + scipy ARPACK eigsh"}))
-    value, streamed, max_res = measure_tpu()
+    try:
+        value, streamed, max_res = measure_tpu()
+        filter_impl = "auto"
+    except Exception as exc:  # noqa: BLE001 — the bench must always report
+        # Safety net: 'auto' selects the Pallas VMEM-resident chebyshev
+        # filter on TPU; if the kernel fails to build on this backend, fall
+        # back to the XLA dot-chain filter rather than losing the benchmark.
+        import sys
+        print(f"bench: auto filter impl failed ({type(exc).__name__}: "
+              f"{exc}); retrying with cheb_filter_impl='xla'",
+              file=sys.stderr)
+        value, streamed, max_res = measure_tpu(cheb_filter_impl="xla")
+        filter_impl = "xla"
     from deep_spectral_tpu.ops.eigen import CHEB_RESIDUAL_TOL
     print(json.dumps({
         "metric": "feature+eigs throughput (dino_vits16, 480x480, K=5)",
@@ -249,6 +265,7 @@ def main():
         # (must be <= ops.eigen.CHEB_RESIDUAL_TOL = 2e-3)
         "eig_residual_max": round(max_res, 6),
         "eig_converged": bool(max_res <= CHEB_RESIDUAL_TOL),
+        "cheb_filter_impl": filter_impl,
     }))
 
 
