@@ -328,6 +328,15 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
     return evals, vectors
 
 
+def _resolve_filter_impl(filter_impl: str) -> str:
+    """'auto' = pallas on TPU (the VMEM-resident kernel is the point of
+    running there), xla elsewhere (off-TPU pallas only interprets — kept
+    reachable for tests that pass 'pallas' explicitly)."""
+    if filter_impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return filter_impl
+
+
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
                          apply_sign_fix, matvec_dtype=jnp.bfloat16,
                          w_scale=None, filter_impl="xla"):
@@ -425,6 +434,7 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         res = jnp.where(jnp.isfinite(res), res, jnp.inf)
         return Xr, theta, res
 
+    filter_impl = _resolve_filter_impl(filter_impl)
     use_pallas = filter_impl == "pallas" and matvec_dtype == jnp.bfloat16
     if use_pallas:
         from .cheb_filter import chebyshev_filter, fits_vmem

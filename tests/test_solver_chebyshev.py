@@ -266,3 +266,18 @@ def test_long_chain_rescale_no_overflow():
             cheb_filter_impl=impl, apply_sign_fix=False, return_residual=True)
         assert np.isfinite(float(res)), impl
         assert np.isfinite(np.asarray(V)).all(), impl
+
+
+def test_filter_impl_auto_resolution(monkeypatch):
+    """'auto' must actually resolve per its documented contract — pallas on
+    TPU, xla elsewhere. Regression: _chebyshev_laplacian used to compare
+    filter_impl == 'pallas' directly, so 'auto' (the default, what bench.py
+    passes) silently always ran the XLA chain, even on the TPU."""
+    import jax
+    from deep_spectral_tpu.ops import eigen as eigen_mod
+
+    assert eigen_mod._resolve_filter_impl("auto") == "xla"  # CPU test env
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert eigen_mod._resolve_filter_impl("auto") == "pallas"
+    assert eigen_mod._resolve_filter_impl("xla") == "xla"
+    assert eigen_mod._resolve_filter_impl("pallas") == "pallas"
