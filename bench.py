@@ -241,7 +241,11 @@ def main():
              "method": "torch-cpu vits16 fwd bs=1 + scipy ARPACK eigsh"}))
     try:
         value, streamed, max_res = measure_tpu()
-        filter_impl = "auto"
+        # Report the impl that ACTUALLY ran, not the request string: 'auto'
+        # resolves by backend + bf16 + VMEM admission (ADVICE r3 — a silent
+        # fits_vmem fallback to XLA must be distinguishable in BENCH).
+        from deep_spectral_tpu.ops.eigen import resolved_cheb_impl
+        filter_impl = resolved_cheb_impl((H // 16) ** 2, "auto")
     except Exception as exc:  # noqa: BLE001 — the bench must always report
         # Safety net: 'auto' selects the Pallas VMEM-resident chebyshev
         # filter on TPU; if the kernel fails to build on this backend, fall

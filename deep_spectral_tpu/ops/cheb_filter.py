@@ -9,8 +9,10 @@ reads per outer iteration — the dominant HBM traffic of the eigs phase
 (CLAUDE.md: 68% HBM-bound fusions, streaming the operator 43x per solve).
 
 This kernel keeps S resident in VMEM for the WHOLE chain: one HBM read of
-the operator per outer iteration instead of d. Fits for N <= ~2500 at bf16
-(VMEM ~16 MB/core); `fits_vmem` guards the caller. The matvec itself runs
+the operator per outer iteration instead of d. With the raised scoped-VMEM
+limit (see _VMEM_LIMIT_BYTES) it admits bf16 operators up to N ~ 3700 under
+the measured compiler accounting; `fits_vmem` guards the caller and the
+pipeline wraps the call in a compile-failure fallback to the XLA chain. The matvec itself runs
 on the MXU with f32 accumulation over a bf16 operator — exactly the XLA
 path's `A_mv_fast` semantics (ops/eigen.py), so the residual guard and
 Rayleigh-Ritz quality contract are unchanged.
@@ -28,13 +30,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Leave headroom for X/T0/T1/T2 blocks, semaphores and double-buffering.
-_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# Scoped-VMEM accounting, measured on v5e (round-3 session log): at N=2025
+# bf16 the Mosaic compiler reported a 25.78 MB scoped allocation against the
+# raw 8.2 MB operator — i.e. ~3.25x the TILE-PADDED operator bytes (operand
+# copies around the dot), plus a handful of f32 (N, 128)-padded thin blocks.
+# The default scoped-VMEM limit is 16 MB, so the old "operator <= 12 MB"
+# guard admitted shapes the compiler then rejected (hard compile error for
+# 1600 < N <= 2048, squarely inside the auto-chebyshev regime). Fix, both
+# sides: raise the kernel's scoped limit via CompilerParams (v5e has 128 MB
+# VMEM/core) and model admission on the measured accounting.
+_VMEM_LIMIT_BYTES = 110 * 1024 * 1024
+_SCOPED_OPERATOR_FACTOR = 3.25  # measured 25.78 MB / 7.93 MB padded at N=2025
 
 
-def fits_vmem(n: int, dtype=jnp.bfloat16) -> bool:
-    """Whether the (n, n) operator fits the kernel's VMEM budget."""
-    return n * n * jnp.dtype(dtype).itemsize <= _VMEM_BUDGET_BYTES
+def _pad_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def scoped_vmem_bytes(n: int, m: int = 8, dtype=jnp.bfloat16) -> int:
+    """Estimate of the kernel's scoped-VMEM footprint for an (n, n) operator
+    and an (n, m) block, per the measured v5e accounting above. Mosaic pads
+    the second-minor dim to the sublane tile (16 for bf16, 8 for f32) and the
+    minor dim to 128 lanes."""
+    itemsize = jnp.dtype(dtype).itemsize
+    sub = 16 if itemsize == 2 else 8
+    op = _pad_to(n, sub) * _pad_to(n, 128) * itemsize
+    # f32 thin blocks: X/T0/T1/T2 + dot output + bf16 cast of the operand,
+    # all (n_pad, m_pad); stay generous (8 copies) — they are small.
+    blocks = 8 * _pad_to(n, 8) * _pad_to(m, 128) * 4
+    return int(_SCOPED_OPERATOR_FACTOR * op) + blocks
+
+
+def fits_vmem(n: int, dtype=jnp.bfloat16, m: int = 8) -> bool:
+    """Whether the (n, n) operator fits the kernel's raised scoped-VMEM limit
+    under the measured compiler accounting (NOT just the raw operator bytes —
+    that was the round-3 bug). Callers that pass this guard are still wrapped
+    in a compile-failure fallback to the XLA chain (pipeline/extract.py,
+    ops/eigen.laplacian_eigs callers), matching ARPACK's never-crash contract
+    (reference: extract/extract.py:227-234)."""
+    return scoped_vmem_bytes(n, m, dtype) <= _VMEM_LIMIT_BYTES
 
 
 def _cheb_kernel(ce_ref, s_ref, x_ref, o_ref, *, degree):
@@ -103,5 +137,11 @@ def chebyshev_filter(S: jax.Array, X: jax.Array, c: jax.Array, e: jax.Array,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, m), jnp.float32),
+        # Raise the scoped-VMEM limit from the 16 MB default: the whole point
+        # of this kernel is keeping the operator VMEM-resident, and v5e has
+        # 128 MB/core. Without this the compiler rejected N > ~1600 bf16
+        # operators that comfortably fit the hardware (round-3 blocker).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(ce, S, X)

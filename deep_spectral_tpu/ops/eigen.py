@@ -143,9 +143,10 @@ def laplacian_eigs(
             ARPACK-style convergence-or-fail semantics (reference:
             extract/extract.py:227-234). NOTE: under `vmap` a lax.cond
             executes both branches for the whole batch; batched callers
-            should instead pass return_residual=True and do the fallback
-            per-image on the host (spectral_decompose_batched /
-            pipeline extract_eigs do this).
+            should either guard per image inside a lax.scan (what
+            spectral_decompose_batched does) or pass return_residual=True
+            and do the fallback per-image on the host (pipeline
+            extract_eigs does this).
     return_residual: return (evals, vectors, residual) where residual is the
             chebyshev convergence residual described above (0.0 for the
             other solvers, which converge by construction / by lobpcg_tol);
@@ -331,10 +332,30 @@ def _lobpcg_laplacian(W, d, K, m_block, iters, tol, lapnorm, mask, apply_sign_fi
 def _resolve_filter_impl(filter_impl: str) -> str:
     """'auto' = pallas on TPU (the VMEM-resident kernel is the point of
     running there), xla elsewhere (off-TPU pallas only interprets — kept
-    reachable for tests that pass 'pallas' explicitly)."""
+    reachable for tests that pass 'pallas' explicitly). Unknown values fail
+    loudly: a typo like 'palas' silently running the XLA chain would be
+    indistinguishable from a real Pallas run (ADVICE r3)."""
     if filter_impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "xla"
+    if filter_impl not in ("xla", "pallas"):
+        raise ValueError(
+            f"cheb_filter_impl must be 'auto', 'xla' or 'pallas'; "
+            f"got {filter_impl!r}")
     return filter_impl
+
+
+def resolved_cheb_impl(N: int, filter_impl: str = "auto",
+                       matvec_dtype=jnp.bfloat16) -> str:
+    """The chebyshev filter impl that will ACTUALLY run for an (N, N)
+    operator: applies the backend resolution ('auto'), the bf16 requirement,
+    and the VMEM admission guard. Lets callers (bench.py) report the real
+    impl instead of the unresolved request string (ADVICE r3)."""
+    impl = _resolve_filter_impl(filter_impl)
+    if impl == "pallas":
+        from .cheb_filter import fits_vmem
+        if matvec_dtype != jnp.bfloat16 or not fits_vmem(N, matvec_dtype):
+            return "xla"
+    return impl
 
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
@@ -434,11 +455,9 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         res = jnp.where(jnp.isfinite(res), res, jnp.inf)
         return Xr, theta, res
 
-    filter_impl = _resolve_filter_impl(filter_impl)
-    use_pallas = filter_impl == "pallas" and matvec_dtype == jnp.bfloat16
+    use_pallas = resolved_cheb_impl(N, filter_impl, matvec_dtype) == "pallas"
     if use_pallas:
-        from .cheb_filter import chebyshev_filter, fits_vmem
-        use_pallas = fits_vmem(N, matvec_dtype)
+        from .cheb_filter import chebyshev_filter
     interp = jax.default_backend() != "tpu"
 
     # window estimate: a degree-3 bottom-emphasizing filter, then one RR. The
@@ -669,11 +688,15 @@ def spectral_decompose_batched(
     """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).
 
     With return_residual, also returns per-image (B,) chebyshev convergence
-    residuals (0.0 for other solvers). Under vmap an in-program lax.cond
-    guard would execute BOTH branches for the whole batch, so the batched
-    path always defers the guard: callers check the residuals host-side and
-    re-solve offenders with solver='eigh' (pipeline extract_eigs does this,
-    merged with its non-finite retry).
+    residuals (0.0 for other solvers) and the guard is deferred to the
+    caller (pipeline extract_eigs re-solves offenders per image host-side,
+    merged with its non-finite retry). Without return_residual the batched
+    path self-guards PER IMAGE with a lax.scan whose body holds a
+    scalar-predicate lax.cond: under vmap a cond executes both branches for
+    the whole batch, but scan is sequential, so each image's cond is a real
+    branch and the dense eigh re-solve executes only for the under-converged
+    images — O(bad), not O(batch). Good images pass through unchanged (a
+    (K,) + (K, N) copy per image, negligible).
     """
     def one(f, m, cw, slv):
         return spectral_decompose(
@@ -696,12 +719,23 @@ def spectral_decompose_batched(
         return evals, vecs, res
     eff = _resolve_solver(feats.shape[1], K + 3, lapnorm, solver)
     if which_matrix in ("laplacian", "matting_laplacian") and eff == "chebyshev":
-        # Batch-level guard with a SCALAR predicate so the cond stays a real
-        # branch (a per-image predicate under vmap would run both branches
-        # unconditionally): any under-converged image re-solves the whole
-        # batch with exact eigh. Rare path; chebyshev is only auto-selected
-        # at N <= 2048 where dense eigh is affordable.
-        ok = jnp.max(res) <= CHEB_RESIDUAL_TOL
-        return jax.lax.cond(ok, lambda: (evals, vecs),
-                            lambda: solve("eigh")[:2])
+        # Per-image guard via lax.scan: scan bodies run sequentially, so the
+        # scalar-predicate lax.cond inside is a REAL branch (unlike under
+        # vmap, where a cond executes both branches for the whole batch) and
+        # the dense eigh re-solve executes only for the images whose residual
+        # tripped — O(bad) instead of the round-3 whole-batch re-solve.
+        def fix_one(_, xs):
+            if color_W is None:
+                f, m, ev, vc, r = xs
+                cw = None
+            else:
+                f, m, cw, ev, vc, r = xs
+            out = jax.lax.cond(
+                r <= CHEB_RESIDUAL_TOL,  # False for NaN/inf residuals too
+                lambda: (ev, vc),
+                lambda: one(f, m, cw, "eigh")[:2])
+            return 0, out
+        xs = ((feats, masks, evals, vecs, res) if color_W is None
+              else (feats, masks, color_W, evals, vecs, res))
+        _, (evals, vecs) = jax.lax.scan(fix_one, 0, xs)
     return evals, vecs

@@ -236,11 +236,36 @@ def extract_eigs(
     batch_size: int = 8,
     bucket_granularity: int = 4,
     solver: str = "auto",  # 'eigh' (exact) | 'lobpcg' (fast) | 'auto'
+    cheb_filter_impl: str = "auto",  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
 ):
     """Laplacian/affinity eigendecomposition per image
     (reference: extract/extract.py:119-280), batched on device."""
     del multiprocessing
     make_output_dir(output_dir)
+
+    # The chebyshev solver's Pallas filter kernel is admission-guarded
+    # (ops/cheb_filter.fits_vmem), but the compiler's scoped-VMEM accounting
+    # can still reject shapes the guard admits (round-3 on-device session:
+    # hard compile error at N=2025). ARPACK never crashes the reference
+    # pipeline (extract/extract.py:227-234), so neither may a kernel build
+    # failure here: fall back to the XLA dot-chain filter, stickily (no
+    # point retrying the failing kernel on every batch of the same bucket).
+    filter_impl_state = {"impl": cheb_filter_impl}
+
+    def solve_batched(*args, **kwargs):
+        try:
+            return spectral_decompose_batched(
+                *args, cheb_filter_impl=filter_impl_state["impl"], **kwargs)
+        except Exception as exc:  # noqa: BLE001 — never-crash contract
+            if filter_impl_state["impl"] == "xla":
+                raise
+            print(f"eigs: chebyshev filter impl "
+                  f"{filter_impl_state['impl']!r} failed to build "
+                  f"({type(exc).__name__}: {exc}); falling back to the XLA "
+                  f"filter chain for the rest of this run")
+            filter_impl_state["impl"] = "xla"
+            return spectral_decompose_batched(
+                *args, cheb_filter_impl="xla", **kwargs)
 
     def lr_grid_of(s) -> Tuple[int, int]:
         f = s.P if image_downsample_factor is None else image_downsample_factor
@@ -305,36 +330,42 @@ def extract_eigs(
                 lambda im, m: (knn_affinity if which_color_matrix == "knn"
                                else rw_affinity)(im, mask=m))
             color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
-        evals, evecs, res = spectral_decompose_batched(
+        evals, evecs, res = solve_batched(
             jnp.asarray(feats), jnp.asarray(masks), color_W,
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
             return_residual=True,
         )
-        evals, evecs, res = np.asarray(evals), np.asarray(evecs), np.asarray(res)
+        # np.array (not asarray): the per-image fallback below writes in place,
+        # and asarray of a jax array yields a read-only view.
+        evals, evecs, res = np.array(evals), np.array(evecs), np.asarray(res)
         # Solver fallback, mirroring the reference's ARPACK shift-invert ->
         # plain-SM retry (extract/extract.py:227-234): if the fast iterative
         # solver produced non-finite values OR the chebyshev convergence
-        # residual rejects any image in the batch (clustered spectra,
-        # lam_K beyond the filter window — see ops/eigen.CHEB_RESIDUAL_TOL),
-        # redo the batch with exact eigh. Host-side check keeps the eigh
-        # program compile-lazy (only built if a batch ever trips it).
-        if solver != "eigh" and not (np.isfinite(evals).all()
-                                     and np.isfinite(evecs).all()
-                                     and (res <= CHEB_RESIDUAL_TOL).all()):
-            n_bad = int((~(np.isfinite(evals).reshape(len(res), -1).all(1)
-                           & np.isfinite(evecs).reshape(len(res), -1).all(1)
-                           & (res <= CHEB_RESIDUAL_TOL))).sum())
-            print(f"eigs: solver under-converged on {n_bad}/{len(res)} "
-                  f"image(s) in a batch; re-solving batch with exact eigh")
-            evals, evecs = spectral_decompose_batched(
-                jnp.asarray(feats), jnp.asarray(masks), color_W,
-                K=K, which_matrix=which_matrix, normalize=normalize,
-                threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
-                image_color_lambda=image_color_lambda, solver="eigh",
-            )
-            evals, evecs = np.asarray(evals), np.asarray(evecs)
+        # residual rejects an image (clustered spectra, lam_K beyond the
+        # filter window — see ops/eigen.CHEB_RESIDUAL_TOL), re-solve THAT
+        # image with exact eigh — O(bad), not the whole batch (at b64/N=2048
+        # one bad graph used to cost 64 dense 2048^2 eighs). Host-side check
+        # keeps the eigh program compile-lazy (B=1, built only if ever
+        # tripped, one compile per bucket shape).
+        good = (np.isfinite(evals).reshape(len(res), -1).all(1)
+                & np.isfinite(evecs).reshape(len(res), -1).all(1)
+                & (res <= CHEB_RESIDUAL_TOL))
+        if solver != "eigh" and not good.all():
+            bad = np.flatnonzero(~good)
+            print(f"eigs: solver under-converged on {len(bad)}/{len(res)} "
+                  f"image(s) in a batch; re-solving those with exact eigh")
+            for i in bad:
+                ev_i, vec_i = solve_batched(
+                    jnp.asarray(feats[i:i + 1]), jnp.asarray(masks[i:i + 1]),
+                    None if color_W is None else color_W[i:i + 1],
+                    K=K, which_matrix=which_matrix, normalize=normalize,
+                    threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
+                    image_color_lambda=image_color_lambda, solver="eigh",
+                )
+                evals[i] = np.asarray(ev_i)[0]
+                evecs[i] = np.asarray(vec_i)[0]
         for i, (image_id, out_file, h_lr, w_lr) in enumerate(metas):
             vec = evecs[i].reshape(K, bucket.h, bucket.w)[:, :h_lr, :w_lr]
             out = {

@@ -126,6 +126,88 @@ def test_stage2_eigs_with_color_affinity(pipeline_dirs, tmp_path):
     assert e["eigenvectors"].shape[0] == 4
 
 
+def test_stage2_pallas_build_failure_falls_back(pipeline_dirs, tmp_path,
+                                                monkeypatch, capsys):
+    """VERDICT r3 #1: a Pallas chebyshev-filter build failure must NOT crash
+    extract_eigs (ARPACK's never-crash contract, reference
+    extract/extract.py:227-234) — the stage falls back to the XLA filter
+    chain and produces identical-schema outputs that match an explicit-XLA
+    run."""
+    from deep_spectral_tpu.ops import cheb_filter
+
+    def boom(*a, **k):
+        raise RuntimeError("Scoped allocation ... exceeded scoped vmem limit")
+
+    monkeypatch.setattr(cheb_filter, "chebyshev_filter", boom)
+    out = tmp_path / "eigs_pallas_fail"
+    stages.extract_eigs(
+        images_root=pipeline_dirs["images_root"],
+        features_dir=pipeline_dirs["features"],
+        output_dir=str(out),
+        which_matrix="laplacian", K=5, batch_size=2,
+        solver="chebyshev", cheb_filter_impl="pallas",
+    )
+    assert "falling back to the XLA filter chain" in capsys.readouterr().out
+    monkeypatch.undo()
+    out_xla = tmp_path / "eigs_xla"
+    stages.extract_eigs(
+        images_root=pipeline_dirs["images_root"],
+        features_dir=pipeline_dirs["features"],
+        output_dir=str(out_xla),
+        which_matrix="laplacian", K=5, batch_size=2,
+        solver="chebyshev", cheb_filter_impl="xla",
+    )
+    for f in sorted(out.iterdir()):
+        a, b = load_pth(f), load_pth(out_xla / f.name)
+        np.testing.assert_array_equal(np.asarray(a["eigenvalues"]),
+                                      np.asarray(b["eigenvalues"]))
+        np.testing.assert_array_equal(np.asarray(a["eigenvectors"]),
+                                      np.asarray(b["eigenvectors"]))
+
+
+def test_stage2_per_image_eigh_fallback(pipeline_dirs, tmp_path, monkeypatch,
+                                        capsys):
+    """VERDICT r3 #5: the host-side under-convergence fallback must re-solve
+    per image (B=1 calls), not the whole batch. Force every image to trip
+    (pipeline-side tolerance -> -1) and spy on the solver's call shapes."""
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched as real
+    calls = []
+
+    def spy(feats, *a, **k):
+        calls.append((int(feats.shape[0]), k.get("solver")))
+        return real(feats, *a, **k)
+
+    monkeypatch.setattr(stages, "spectral_decompose_batched", spy)
+    monkeypatch.setattr(stages, "CHEB_RESIDUAL_TOL", -1.0)
+    out = tmp_path / "eigs_per_image"
+    stages.extract_eigs(
+        images_root=pipeline_dirs["images_root"],
+        features_dir=pipeline_dirs["features"],
+        output_dir=str(out),
+        which_matrix="laplacian", K=5, batch_size=2,
+        solver="chebyshev",
+    )
+    assert "re-solving those with exact eigh" in capsys.readouterr().out
+    eigh_calls = [c for c in calls if c[1] == "eigh"]
+    assert eigh_calls, "forced trip must trigger the fallback"
+    assert all(b == 1 for b, _ in eigh_calls), \
+        f"fallback must be per-image (B=1), got {eigh_calls}"
+    # outputs must equal the exact solve
+    out_ref = tmp_path / "eigs_exact"
+    stages.extract_eigs(
+        images_root=pipeline_dirs["images_root"],
+        features_dir=pipeline_dirs["features"],
+        output_dir=str(out_ref),
+        which_matrix="laplacian", K=5, batch_size=2, solver="eigh",
+    )
+    for f in sorted(out.iterdir()):
+        a, b = load_pth(f), load_pth(out_ref / f.name)
+        np.testing.assert_allclose(np.asarray(a["eigenvalues"]),
+                                   np.asarray(b["eigenvalues"]), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a["eigenvectors"]),
+                                   np.asarray(b["eigenvectors"]), atol=1e-4)
+
+
 def test_stage3_multi_region(pipeline_dirs):
     stages.extract_multi_region_segmentations(
         features_dir=pipeline_dirs["features"],

@@ -166,10 +166,10 @@ def test_color_fused_graph_guarded(rng):
     assert _subspace_cos(V, V_r) > 0.999
 
 
-def test_batched_guard_fires_at_batch_level(monkeypatch):
+def test_batched_guard_fires_per_image_all_bad(monkeypatch):
     """spectral_decompose_batched without return_residual self-guards with a
-    scalar batch-level lax.cond: force the guard (tolerance -> 0) and check
-    the output equals the exact eigh solve."""
+    per-image lax.scan + lax.cond: force the guard for every image
+    (tolerance -> 0) and check the output equals the exact eigh solve."""
     from deep_spectral_tpu.ops import eigen as eigen_mod
     from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
     K = 5
@@ -185,6 +185,42 @@ def test_batched_guard_fires_at_batch_level(monkeypatch):
         assert _subspace_cos(np.asarray(V)[b], np.asarray(V_r)[b]) > 0.9999
     np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_r),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_batched_guard_reselves_exactly_the_tripped_images(monkeypatch):
+    """VERDICT r3 #5: the in-program guard must re-solve ONLY the images
+    whose residual trips, passing converged images through UNCHANGED. Pin
+    the tolerance between the batch's actual per-image residuals, then
+    check tripped lanes match the dense eigh answer while untripped lanes
+    are bitwise the unguarded chebyshev output (proof they did not go
+    through the dense branch)."""
+    from deep_spectral_tpu.ops import eigen as eigen_mod
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+    K = 5
+    # unique N (26x26=676) to avoid jit-cache collision across tolerances
+    feats = np.stack([_smooth_features(np.random.default_rng(40 + i), 26, 26)
+                      for i in range(4)])
+    ev_c, V_c, res = spectral_decompose_batched(
+        jnp.asarray(feats), K=K, solver="chebyshev", return_residual=True)
+    res = np.asarray(res)
+    assert res.min() < res.max(), "need distinct residuals to split on"
+    mid = float(np.sort(res)[len(res) // 2 - 1] + np.sort(res)[len(res) // 2]) / 2
+    tripped = res > mid
+    assert tripped.any() and not tripped.all()
+    monkeypatch.setattr(eigen_mod, "CHEB_RESIDUAL_TOL", mid)
+    ev, V = spectral_decompose_batched(jnp.asarray(feats), K=K,
+                                       solver="chebyshev")
+    ev_r, V_r = spectral_decompose_batched(jnp.asarray(feats), K=K,
+                                           solver="eigh")
+    ev, V = np.asarray(ev), np.asarray(V)
+    for b in range(len(res)):
+        if tripped[b]:
+            assert _subspace_cos(V[b], np.asarray(V_r)[b]) > 0.9999
+            np.testing.assert_allclose(ev[b], np.asarray(ev_r)[b],
+                                       atol=1e-4, rtol=1e-3)
+        else:
+            np.testing.assert_array_equal(ev[b], np.asarray(ev_c)[b])
+            np.testing.assert_array_equal(V[b], np.asarray(V_c)[b])
 
 
 def test_batched_return_residual_shapes():
@@ -232,12 +268,27 @@ def test_pallas_filter_matches_xla_filter():
 
 def test_pallas_filter_vmem_fallback():
     """Operators too large for VMEM must silently take the XLA chain (the
-    'pallas' request is a hint, not a contract)."""
+    'pallas' request is a hint, not a contract). Guard boundary pinned per
+    the round-4 fix: admission models the compiler's SCOPED-VMEM accounting
+    (~3.25x the tile-padded operator, measured 25.78 MB at N=2025 on v5e)
+    against the kernel's raised limit — the round-3 guard compared raw
+    operator bytes to a 12 MB budget and admitted shapes the compiler then
+    rejected (hard compile error at 1600 < N <= 2048)."""
     from deep_spectral_tpu.ops import cheb_filter
 
     assert cheb_filter.fits_vmem(900)
+    # the round-3 on-device crash shape MUST be admitted under the raised
+    # limit (its real scoped need, 25.78 MB, is far below 110 MB)...
+    assert cheb_filter.fits_vmem(2025)
     assert cheb_filter.fits_vmem(2048)
-    assert not cheb_filter.fits_vmem(3600)
+    # ...and the estimate must not be wildly below the measured accounting
+    # (under-estimation is exactly the round-3 bug)
+    measured_2025 = 25.78 * 1024 * 1024
+    assert cheb_filter.scoped_vmem_bytes(2025) >= measured_2025
+    # vits8-scale operators now fit; far larger ones do not
+    assert cheb_filter.fits_vmem(3600)
+    assert not cheb_filter.fits_vmem(4200)
+    assert cheb_filter.scoped_vmem_bytes(4200) > cheb_filter._VMEM_LIMIT_BYTES
     # f32 operator: pallas requires bf16 matvecs -> falls back, still solves
     feats = _smooth_features(np.random.default_rng(2), 24, 24)
     W = feature_affinity(jnp.asarray(feats))
@@ -281,3 +332,31 @@ def test_filter_impl_auto_resolution(monkeypatch):
     assert eigen_mod._resolve_filter_impl("auto") == "pallas"
     assert eigen_mod._resolve_filter_impl("xla") == "xla"
     assert eigen_mod._resolve_filter_impl("pallas") == "pallas"
+
+
+def test_filter_impl_unknown_value_rejected():
+    """ADVICE r3 (low): a typo like 'palas' must fail loudly, not silently
+    run the XLA chain."""
+    from deep_spectral_tpu.ops import eigen as eigen_mod
+
+    with pytest.raises(ValueError, match="cheb_filter_impl"):
+        eigen_mod._resolve_filter_impl("palas")
+    feats = _smooth_features(np.random.default_rng(3), 24, 24)
+    W = feature_affinity(jnp.asarray(feats))
+    with pytest.raises(ValueError, match="cheb_filter_impl"):
+        laplacian_eigs(W, 5, solver="chebyshev", cheb_filter_impl="palas")
+
+
+def test_resolved_cheb_impl_reports_actual_impl(monkeypatch):
+    """ADVICE r3 (low): bench.py reports resolved_cheb_impl, which must fold
+    in backend resolution, the bf16 requirement, and the VMEM admission
+    guard — a fits_vmem fallback to XLA must be visible."""
+    import jax
+    from deep_spectral_tpu.ops import eigen as eigen_mod
+
+    assert eigen_mod.resolved_cheb_impl(900, "auto") == "xla"  # CPU env
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert eigen_mod.resolved_cheb_impl(900, "auto") == "pallas"
+    assert eigen_mod.resolved_cheb_impl(900, "pallas",
+                                        jnp.float32) == "xla"  # bf16 only
+    assert eigen_mod.resolved_cheb_impl(8000, "pallas") == "xla"  # VMEM gate
