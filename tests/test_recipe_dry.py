@@ -80,3 +80,22 @@ def test_corloc_recipe_cli_end_to_end(tmp_path, capsys):
     # dry run only proves the recipe executes end-to-end and reports a score.
     score = float(text.strip().split(",")[1])  # "corloc,<score>,<n>"
     assert 0.0 <= score <= 100.0
+
+
+def test_real_weight_parity_script_dry_run():
+    """VERDICT r3 #8: scripts/real_weight_parity.sh is the one-command parity
+    run (features -> eigs -> eigenseg CorLoc -> delta vs the paper's 62.7).
+    --dry-run exercises every command verbatim on a synthetic VOC07 layout,
+    so the only missing input the day a checkpoint lands is the weights
+    file itself."""
+    import os
+    import subprocess
+    script = Path(__file__).resolve().parent.parent / "scripts" / "real_weight_parity.sh"
+    assert script.is_file()
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the subprocess off the TPU
+    out = subprocess.run(["bash", str(script), "--dry-run"], env=env,
+                         capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CorLoc:" in out.stdout and "delta" in out.stdout
+    assert "parity target" in out.stdout
