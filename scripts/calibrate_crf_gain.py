@@ -25,7 +25,12 @@ import numpy as np
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import deep_spectral_tpu.ops.crf as crf_mod  # noqa: E402
 from deep_spectral_tpu.ops.crf import bilateral_filter  # noqa: E402
+
+# Round 4 made small point counts take the EXACT dense-kernel path (gain 1 by
+# construction) — force the grid path, which is what this script calibrates.
+crf_mod._DENSE_MAX_POINTS = 0
 
 
 def make_image(rng, H, W):
@@ -64,7 +69,11 @@ def main():
                 values = rng.uniform(0, 1, (H, W, 3)).astype(np.float32)
                 grid_avg, density = bilateral_filter(
                     jnp.asarray(values), jnp.asarray(image), alpha, beta)
-                grid_sum = np.asarray(grid_avg) * np.asarray(density)
+                # density comes back pre-divided by GRID_SELF_GAIN (round 4);
+                # undo that to measure the RAW grid gain this script exists
+                # to calibrate.
+                grid_sum = (np.asarray(grid_avg) * np.asarray(density)
+                            * crf_mod.GRID_SELF_GAIN)
                 exact = exact_bilateral_sum(values, image, alpha, beta)
                 g = grid_sum.reshape(-1, 3) / np.maximum(exact, 1e-9)
                 med = np.median(g)

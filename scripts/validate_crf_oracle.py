@@ -23,6 +23,10 @@ import jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import deep_spectral_tpu.ops.crf as crf_mod  # noqa: E402
 
+# Round 4 made small point counts take the EXACT dense-kernel path (no gain
+# constant involved) — force the grid path, whose gain this script sweeps.
+crf_mod._DENSE_MAX_POINTS = 0
+
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "tests"))
 # single source of truth for the oracle + case generator (tests/crf_oracle.py)

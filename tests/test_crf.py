@@ -71,6 +71,69 @@ def test_bilateral_filter_matches_bruteforce(rng):
     assert np.abs(out - ref).mean() < 0.08
 
 
+def test_bilateral_filter_dense_path_is_exact(rng):
+    """Round 4: small point counts take the exact dense-kernel path. At s=1
+    (alpha < 8) it must reproduce the brute-force bilateral sum to float
+    tolerance — not just the grid's 'high correlation' bar."""
+    H = W = 16
+    img = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    vals = rng.random((H, W, 1)).astype(np.float32)
+    alpha, beta = 4.0, 26.0
+    out, density = bilateral_filter(jnp.asarray(vals), jnp.asarray(img),
+                                    alpha, beta)
+    out = np.asarray(out)[..., 0]
+
+    yy, xx = np.mgrid[:H, :W]
+    pos = np.stack([yy, xx], -1).reshape(-1, 2) / alpha
+    col = img.reshape(-1, 3) / beta
+    f = np.concatenate([pos, col], 1)
+    k = np.exp(-0.5 * ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1))
+    ref_sum = k @ vals.reshape(-1)
+    ref = (ref_sum / k.sum(1)).reshape(H, W)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+    # density is the exact kernel mass (unit gain — no grid calibration)
+    np.testing.assert_allclose(np.asarray(density)[..., 0],
+                               k.sum(1).reshape(H, W), rtol=1e-4)
+
+
+def test_bilateral_filter_grid_path_still_approximates(rng, monkeypatch):
+    """The 5-D grid path (now only reached for very large point counts) must
+    stay a valid approximation — force it and re-check the brute-force
+    agreement bar the dense path made trivial."""
+    import deep_spectral_tpu.ops.crf as crf_mod
+    monkeypatch.setattr(crf_mod, "_DENSE_MAX_POINTS", 0)
+    import jax
+    jax.clear_caches()  # drop dense-path traces for these shapes
+    try:
+        H = W = 16
+        img = (rng.random((H, W, 3)) * 255).astype(np.float32)
+        vals = rng.random((H, W, 1)).astype(np.float32)
+        alpha, beta = 4.0, 26.0
+        out, _ = crf_mod.bilateral_filter(jnp.asarray(vals), jnp.asarray(img),
+                                          alpha, beta)
+        out = np.asarray(out)[..., 0]
+        yy, xx = np.mgrid[:H, :W]
+        pos = np.stack([yy, xx], -1).reshape(-1, 2) / alpha
+        col = img.reshape(-1, 3) / beta
+        f = np.concatenate([pos, col], 1)
+        k = np.exp(-0.5 * ((f[:, None, :] - f[None, :, :]) ** 2).sum(-1))
+        ref = ((k @ vals.reshape(-1)) / k.sum(1)).reshape(H, W)
+        corr = np.corrcoef(out.ravel(), ref.ravel())[0, 1]
+        assert corr > 0.9, f"correlation {corr}"
+        assert np.abs(out - ref).mean() < 0.08
+
+        # end-to-end: forced-grid CRF still agrees >= 95% with the oracle
+        img2, seg2 = blobby_case(np.random.default_rng(3), 56, 56)
+        params = (10.0, 16.0, 13.0, 3.0, 3.0, 5.0)
+        want = exact_mean_field(img2, seg2, 3, params)
+        got = np.asarray(crf_mod.dense_crf(jnp.asarray(img2),
+                                           jnp.asarray(seg2),
+                                           num_classes=3, params=params))
+        assert np.mean(got == want) >= 0.95
+    finally:
+        jax.clear_caches()  # don't leak grid-path traces to later tests
+
+
 def test_crf_denoises_speckle(rng):
     img = _two_region_image(noise=5.0, rng=rng)
     seg = np.zeros((64, 64), np.int32)
