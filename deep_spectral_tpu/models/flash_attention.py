@@ -193,7 +193,8 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
 def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
                          m_scratch, l_scratch, acc_scratch,
                          *, sm_scale: float, num_kv_blocks: int,
-                         num_heads: int, head_dim: int, block_k_minor: int):
+                         num_heads: int, head_dim: int, block_k_minor: int,
+                         pad_scores_hd: bool = False):
     """One (batch, q-block, kv-block) cell covering ALL heads: q/k/v blocks are
     (block, H*hd) lane-packed; heads unroll as static lane slices with
     per-head (m, l, acc) scratch rows.
@@ -203,7 +204,17 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
     block_k_minor) sub-tiles — the fp32 score/probability temporaries no
     longer scale with the transfer block, so block_q stays at 512 where the
     single-level kernel was VMEM-forced down to 256 at T=4096 (the ViT-S/8
-    stretch config)."""
+    stretch config).
+
+    pad_scores_hd (MXU-utilization DIAGNOSTIC, off by default): zero-pad the
+    scores matmul's contraction dim from head_dim (64) to 128. The output is
+    bitwise-identical (padded zeros contribute nothing); what changes is the
+    MXU mapping — if a K=64 contraction only fills half the 128-deep
+    systolic array, the padded variant runs 2x the (half-zero) FLOPs in the
+    SAME time, while if K=64 already runs at full rate the variant is ~2x
+    slower. Distinguishes 'hd=64 halves the MXU, nothing to win' from 'the
+    scores matmul has headroom' on real hardware
+    (scripts/probe_vits8_attn.py; VERDICT r3 #7)."""
     kv_idx = pl.program_id(2)
 
     @pl.when(kv_idx == 0)
@@ -224,8 +235,14 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
             v = v_ref[0, rows, sl]
             kv_mask = mask_ref[0][:, rows]
 
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
+            if pad_scores_hd:
+                qp = jnp.concatenate([q, jnp.zeros_like(q)], axis=1)
+                kp = jnp.concatenate([k, jnp.zeros_like(k)], axis=1)
+                s = jax.lax.dot_general(qp, kp, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            else:
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
             s = s * sm_scale
             s = jnp.where(kv_mask, s, MASK_VALUE)
 
@@ -254,10 +271,12 @@ def _flash_kernel_packed(q_ref, k_ref, v_ref, mask_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "block_q", "block_k",
-                                             "block_k_minor", "interpret"))
+                                             "block_k_minor", "interpret",
+                                             "pad_scores_hd"))
 def _flash_forward_packed(q, k, v, kv_mask, *, num_heads,
                           block_q=PACKED_BLOCK_Q, block_k=PACKED_BLOCK_K,
-                          block_k_minor=None, interpret=False):
+                          block_k_minor=None, interpret=False,
+                          pad_scores_hd=False):
     """q/k/v: (B, T, H, hd). Returns (B, T, H, hd). No transposes, no
     residuals — the inference fast path. block_k_minor < block_k enables
     two-level KV tiling (see _flash_kernel_packed)."""
@@ -286,7 +305,8 @@ def _flash_forward_packed(q, k, v, kv_mask, *, num_heads,
 
     kernel = functools.partial(_flash_kernel_packed, sm_scale=sm_scale,
                                num_kv_blocks=num_kv_blocks, num_heads=H,
-                               head_dim=hd, block_k_minor=block_k_minor)
+                               head_dim=hd, block_k_minor=block_k_minor,
+                               pad_scores_hd=pad_scores_hd)
     out = pl.pallas_call(
         kernel,
         grid=(B, num_q_blocks, num_kv_blocks),

@@ -214,6 +214,28 @@ def test_packed_two_level_kv_tiling_matches_einsum(rng):
                                    err_msg=f"blocks ({bq},{bk},{bkm})")
 
 
+def test_packed_pad_scores_hd_is_identity(rng):
+    """The pad_scores_hd MXU diagnostic (zero-padded scores contraction,
+    VERDICT r3 #7 probe) must be bitwise-equivalent math: identical outputs
+    to the unpadded kernel on the same blocks."""
+    import jax.numpy as jnp
+    from deep_spectral_tpu.models.flash_attention import _flash_forward_packed
+    B, T, H, hd = 2, 384, 3, 32
+    q = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    k = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    v = rng.standard_normal((B, T, H, hd)).astype(np.float32)
+    mask = np.ones((B, T), bool)
+    mask[1, 300:] = False
+    base = np.asarray(_flash_forward_packed(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        num_heads=H, block_q=128, block_k=128, interpret=True))
+    padded = np.asarray(_flash_forward_packed(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), jnp.asarray(mask),
+        num_heads=H, block_q=128, block_k=128, interpret=True,
+        pad_scores_hd=True))
+    np.testing.assert_array_equal(base, padded)
+
+
 def test_packed_block_guard():
     """The packed kernel's block guard keeps the tuned blocks where they fit
     and, where the scoped-VMEM budget would overflow (T=4096 at single-level
