@@ -84,8 +84,8 @@ def _structured_features(batch: int, grid: int, D: int, rng) -> np.ndarray:
     return feats
 
 
-def measure_tpu(batch: int = BATCH,
-                cheb_filter_impl: str = "auto") -> tuple[float, float, float]:
+def measure_tpu(batch: int = BATCH, cheb_filter_impl: str = "auto",
+                seed: int = 0) -> tuple[float, float, float]:
     import jax
     import jax.numpy as jnp
     from deep_spectral_tpu.models.convert import load_params
@@ -97,7 +97,7 @@ def measure_tpu(batch: int = BATCH,
 
     model, params = load_params("dino_vits16", precision="bf16")
     n_tokens = (H // 16) * (W // 16)
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     base_np = _structured_features(batch, H // 16, 384, rng)
 
     @jax.jit

@@ -62,12 +62,17 @@ def feature_affinity(
     f = feats.astype(jnp.float32)
     if normalize:
         f = l2_normalize(f, axis=-1)
+    if mask is not None:
+        # Mask the FEATURES, not the Gram matrix: (m*f)(m*f)^T equals
+        # (m m^T) * (f f^T) exactly, and relu commutes with the zero mask.
+        # The feature pass is (N, D) and fuses into the dot's operand prep;
+        # masking W afterward costs two full (N, N) broadcast-multiply
+        # streams that XLA materializes separately (measured in the round-4
+        # eigs-phase HLO dump — the dominant HBM traffic of the solve).
+        f = f * mask.astype(f.dtype)[:, None]
     W = jnp.dot(f, f.T, precision=_EXACT, preferred_element_type=jnp.float32)
     if threshold_at_zero:
         W = jnp.maximum(W, 0.0)
-    if mask is not None:
-        m = mask.astype(W.dtype)
-        W = W * m[:, None] * m[None, :]
     if max_normalize:
         W = W / jnp.maximum(jnp.max(W), 1e-12)
     return W

@@ -119,6 +119,7 @@ def laplacian_eigs(
     matvec_precision: str = "bf16",
     return_residual: bool = False,
     w_scale: Optional[jax.Array] = None,
+    w_premasked: bool = False,
 ):
     """Smallest-K eigenpairs of the graph Laplacian of affinity W.
 
@@ -191,6 +192,13 @@ def laplacian_eigs(
     (>= 0.999 required). The iteration cap is not binding on
     image-structured graphs (tol early-exit converges in <30 iters).
 
+    w_premasked: the caller guarantees W already has exactly-zero padded
+            rows/cols (true for every ops.affinity construction given the
+            same mask: the Gram product masks the features, KNN/rw mask
+            structurally), so the defensive W*m*m re-mask — two full (N, N)
+            broadcast-multiply HBM streams — is skipped. `mask` is still
+            used for the pad-aware eigh diagonal and final vector masking.
+
     w_scale: optional positive scalar c meaning "solve the graph c*W without
             materializing it". The whitened operator D^-1/2 W D^-1/2 is
             invariant under W -> c*W, so callers that only need W for its
@@ -207,7 +215,12 @@ def laplacian_eigs(
     """
     W = W.astype(jnp.float32)
     N = W.shape[-1]
-    if mask is not None:
+    if mask is not None and not w_premasked:
+        # Callers whose W already has zeroed padded rows/cols (everything
+        # coming out of ops.affinity with a mask — Gram/KNN/rw constructions
+        # zero them structurally) pass w_premasked=True to skip this: the
+        # two (N, N) broadcast-multiply streams were among the biggest HBM
+        # costs of the whole eigs phase (round-4 HLO dump).
         m = mask.astype(W.dtype)
         W = W * m[:, None] * m[None, :]
     if w_scale is None:
@@ -637,10 +650,14 @@ def spectral_decompose(
                 max_normalize=True, mask=mask,
             )
             W = W + color_W.astype(W.dtype) * image_color_lambda
+            # Both terms have structurally zero padded rows/cols (feature
+            # masking in the Gram product; knn/rw affinities mask/clamp to
+            # the valid region), so skip the re-mask inside laplacian_eigs.
             return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask,
                                   solver=solver,
                                   cheb_filter_impl=cheb_filter_impl,
-                                  return_residual=return_residual)
+                                  return_residual=return_residual,
+                                  w_premasked=True)
         # No fusion: defer the max-normalization into the solver's whitening
         # scalings (w_scale) — skips a full (N, N) divide pass that XLA
         # cannot fuse into the downstream dot operands.
@@ -652,7 +669,7 @@ def spectral_decompose(
         return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver,
                               cheb_filter_impl=cheb_filter_impl,
                               return_residual=return_residual,
-                              w_scale=w_scale)
+                              w_scale=w_scale, w_premasked=True)
     if which_matrix in ("affinity", "affinity_torch"):
         W = feature_affinity(
             feats, normalize=normalize, threshold_at_zero=threshold_at_zero,
