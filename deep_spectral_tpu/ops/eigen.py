@@ -686,7 +686,8 @@ def spectral_decompose(
 
 @partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
                                    "lapnorm", "image_color_lambda", "solver",
-                                   "cheb_filter_impl", "return_residual"))
+                                   "cheb_filter_impl", "return_residual",
+                                   "eig_chunk"))
 def spectral_decompose_batched(
     feats: jax.Array,
     masks: Optional[jax.Array] = None,
@@ -701,6 +702,7 @@ def spectral_decompose_batched(
     solver: str = "auto",
     cheb_filter_impl: str = "auto",
     return_residual: bool = False,
+    eig_chunk: Optional[int] = None,
 ):
     """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).
 
@@ -714,6 +716,17 @@ def spectral_decompose_batched(
     branch and the dense eigh re-solve executes only for the under-converged
     images — O(bad), not O(batch). Good images pass through unchanged (a
     (K,) + (K, N) copy per image, negligible).
+
+    eig_chunk: optionally solve the batch in sequential sub-batches of this
+    size (lax.map over chunks of the vmapped solve). The chebyshev adaptive
+    outer loop under vmap runs until EVERY lane converges, so one slow graph
+    forces the batch-max outer count (each extra outer = `degree` streams of
+    each lane's (N, N) operator); chunking confines that penalty to the slow
+    graph's chunk. Sequentializing chunks costs little on a single TPU core —
+    both the Pallas filter grid and the batched RR small-eighs already
+    execute lane-sequentially. Must divide the batch; None/0 = whole batch
+    (the default; the measured win at the flagship config decides whether
+    the pipeline passes it — see scripts/sweep_eig_chunk.py).
     """
     def one(f, m, cw, slv):
         return spectral_decompose(
@@ -727,9 +740,23 @@ def spectral_decompose_batched(
         masks = jnp.ones(feats.shape[:2], dtype=bool)
 
     def solve(slv):
-        if color_W is None:
-            return jax.vmap(lambda f, m: one(f, m, None, slv))(feats, masks)
-        return jax.vmap(lambda f, m, cw: one(f, m, cw, slv))(feats, masks, color_W)
+        def vsolve(f, m, cw):
+            if cw is None:
+                return jax.vmap(lambda ff, mm: one(ff, mm, None, slv))(f, m)
+            return jax.vmap(lambda ff, mm, cc: one(ff, mm, cc, slv))(f, m, cw)
+
+        B = feats.shape[0]
+        if not eig_chunk or eig_chunk >= B:
+            return vsolve(feats, masks, color_W)
+        if B % eig_chunk != 0:
+            raise ValueError(
+                f"eig_chunk={eig_chunk} must divide the batch size {B}")
+        rs = lambda x: x.reshape(B // eig_chunk, eig_chunk, *x.shape[1:])
+        out = jax.lax.map(
+            lambda xs: vsolve(*xs),
+            (rs(feats), rs(masks),
+             rs(color_W) if color_W is not None else None))
+        return jax.tree.map(lambda x: x.reshape(B, *x.shape[2:]), out)
 
     evals, vecs, res = solve(solver)
     if return_residual:

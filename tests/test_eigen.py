@@ -223,3 +223,62 @@ def test_laplacian_eigs_w_scale_matches_materialized(rng, solver, lapnorm):
         for k in range(K):
             v = np.asarray(vecs_s)[k]
             assert abs(float(v @ (d_norm * v)) - 1.0) < 1e-3
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_spectral_decompose_batched_eig_chunk_matches_whole(rng, with_mask):
+    """eig_chunk sub-batching (lax.map over chunks of the vmapped solve) must
+    be a pure scheduling change: identical eigenpairs and residuals to the
+    whole-batch vmap, per image, for every solver the pipeline uses."""
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+
+    B, n, d, K = 8, 64, 16, 4
+    feats = rng.standard_normal((B, n, d)).astype(np.float32)
+    if with_mask:
+        masks = np.ones((B, n), dtype=bool)
+        masks[0, -7:] = False
+        masks[3, -2:] = False
+        feats = feats * masks[:, :, None]
+    else:
+        masks = None
+
+    for solver in ("eigh", "lobpcg"):
+        whole = spectral_decompose_batched(
+            jnp.asarray(feats), None if masks is None else jnp.asarray(masks),
+            K=K, solver=solver, return_residual=True)
+        chunked = spectral_decompose_batched(
+            jnp.asarray(feats), None if masks is None else jnp.asarray(masks),
+            K=K, solver=solver, return_residual=True, eig_chunk=2)
+        for w, c in zip(whole, chunked):
+            np.testing.assert_allclose(np.asarray(c), np.asarray(w),
+                                       atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="must divide"):
+        spectral_decompose_batched(jnp.asarray(feats), K=K, solver="eigh",
+                                   eig_chunk=3)
+
+
+def test_spectral_decompose_batched_eig_chunk_chebyshev(rng):
+    """Chunked chebyshev: same converged subspace as whole-batch (the adaptive
+    outer count may legitimately differ between chunked lanes — one slow lane
+    no longer drags the others — so compare subspaces, not raw floats), and
+    the per-image self-guard still runs after chunked solves."""
+    from test_solver_lobpcg import _smooth_features
+    from deep_spectral_tpu.ops.eigen import spectral_decompose_batched
+
+    B, K = 4, 5
+    feats = np.stack([_smooth_features(np.random.default_rng(s))
+                      for s in range(B)]).astype(np.float32)
+    fj = jnp.asarray(feats)
+    whole_v = np.asarray(spectral_decompose_batched(
+        fj, K=K, solver="chebyshev")[1])
+    chunk_v = np.asarray(spectral_decompose_batched(
+        fj, K=K, solver="chebyshev", eig_chunk=2)[1])
+    exact_v = np.asarray(spectral_decompose_batched(fj, K=K, solver="eigh")[1])
+    for b in range(B):
+        for name, v in (("whole", whole_v), ("chunk", chunk_v)):
+            # principal-subspace cosine vs exact, per image
+            q1, _ = np.linalg.qr(v[b].T)
+            q2, _ = np.linalg.qr(exact_v[b].T)
+            s = np.linalg.svd(q1.T @ q2, compute_uv=False)
+            assert s.min() > 0.999, f"{name} image {b}: subspace cos {s.min()}"
