@@ -124,3 +124,33 @@ def test_degree_vector_clamp():
     W[0, 1] = W[1, 0] = 2.0
     d = np.asarray(degree_vector(jnp.asarray(W)))
     np.testing.assert_allclose(d, [2.0, 2.0, 1.0, 1.0])  # zero rows clamp to 1
+
+
+def test_masked_affinities_zero_padded_rows_cols_exactly():
+    """The w_premasked contract (ops/eigen.laplacian_eigs): every masked
+    affinity construction must produce EXACTLY-zero padded rows/cols, since
+    spectral_decompose skips the defensive W*m*m re-mask (two full (N, N)
+    HBM streams) on that guarantee. == 0.0, not approx."""
+    from deep_spectral_tpu.ops import feature_affinity
+
+    rng = np.random.default_rng(11)
+    h, w = 6, 5
+    n = h * w
+    mask = np.ones(n, bool)
+    mask[-(w + 3):] = False  # bottom row + part of the one above
+    mask2d = np.zeros((h, w), bool)
+    mask2d[:5, :] = True  # rectangular for rw (top-left valid region)
+
+    feats = rng.standard_normal((n, 64)).astype(np.float32)
+    Wf = np.asarray(feature_affinity(jnp.asarray(feats),
+                                     mask=jnp.asarray(mask)))
+    image = rng.random((h, w, 3)).astype(np.float32)
+    Wk = np.asarray(knn_affinity(jnp.asarray(image), (4, 2), (2.0, 0.1),
+                                 mask=jnp.asarray(mask2d.reshape(-1))))
+    Wr = np.asarray(rw_affinity(jnp.asarray(image),
+                                mask=jnp.asarray(mask2d.reshape(-1))))
+    for name, W, m in (("feature", Wf, mask),
+                       ("knn", Wk, mask2d.reshape(-1)),
+                       ("rw", Wr, mask2d.reshape(-1))):
+        assert np.abs(W[~m]).max() == 0.0, f"{name}: padded rows not zero"
+        assert np.abs(W[:, ~m]).max() == 0.0, f"{name}: padded cols not zero"
