@@ -237,10 +237,14 @@ def extract_eigs(
     bucket_granularity: int = 4,
     solver: str = "auto",  # 'eigh' (exact) | 'lobpcg' (fast) | 'auto'
     cheb_filter_impl: str = "auto",  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    eig_chunk: Optional[int] = None,  # sub-batch the solve (ops/eigen.py)
 ):
     """Laplacian/affinity eigendecomposition per image
     (reference: extract/extract.py:119-280), batched on device."""
     del multiprocessing
+    if eig_chunk and batch_size % eig_chunk != 0:
+        raise ValueError(
+            f"--eig_chunk {eig_chunk} must divide --batch_size {batch_size}")
     make_output_dir(output_dir)
 
     # The chebyshev solver's Pallas filter kernel is admission-guarded
@@ -335,7 +339,7 @@ def extract_eigs(
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
-            return_residual=True,
+            return_residual=True, eig_chunk=eig_chunk,
         )
         # np.array (not asarray): the per-image fallback below writes in place,
         # and asarray of a jax array yields a read-only view.
