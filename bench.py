@@ -23,9 +23,12 @@ from pathlib import Path
 
 import numpy as np
 
-# Batch sweep on v5e with streamed dispatch + end fetch: 64 -> ~550 img/s,
-# 128 -> ~310 (HBM pressure from 128 stacked 900-node graphs). 64 is the knee.
-BATCH = int(os.environ.get("DSS_BENCH_BATCH", "64"))
+# Batch knee measured on v5e with the chained device-time harness, 3 seeds x
+# 2 independent sessions (scripts/sweep_bench_batch.py, r4b): b24 ~1228 img/s
+# mean beats b16 ~1179 and b32 ~1174, and the r4 single-seed sweep showed a
+# monotonic decline past 24 (b64 1134, b128 1056). The one-off b24=1565
+# reading was adaptive-outer batch luck — never reproduced across seeds.
+BATCH = int(os.environ.get("DSS_BENCH_BATCH", "24"))
 H = W = 480
 K = 5
 BASELINE_CACHE = Path(__file__).parent / ".bench_baseline.json"
