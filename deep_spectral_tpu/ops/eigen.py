@@ -50,6 +50,28 @@ CHEB_RESIDUAL_TOL = 2e-3
 # anything that did not converge.
 _EXACT = jax.lax.Precision.HIGHEST
 
+# First-outer filter window upper edge for cheb_window_init='wide' (see
+# _chebyshev_laplacian): the window [_WIDE_INIT_LAM_CUT, 2] is damped and the
+# spectrum below it amplified on the first, pre-theta filter pass. 1.0 wins
+# the CPU trip-count study (scripts/study_cheb_budget.py, 64 structured
+# graphs, degree 10): {2: 62, 3: 2} all-converged vs the pre-loop estimate's
+# {2: 60, 3: 4} — i.e. the fixed half-spectrum window needs NO more outers
+# than the old adaptive pre-loop estimate, while skipping its full RR and
+# degree-3 filter. 1.8 inflates trips ({2: 46, 3: 17, 4: 1}); 0.5 is too
+# tight ({3: 53, 4: 11}).
+_WIDE_INIT_LAM_CUT = 1.0
+
+# 'auto' window-init split, measured ON DEVICE (scripts/ab_cheb_window.py +
+# the --platform device trip study, v5e, 2026-08-19): trip counts are
+# borderline-sensitive to the bf16 MXU filter and came out OPPOSITE to the
+# CPU study at large N — at N=2025 the device runs estimate at batch-max 2
+# outers but wide at 3 ({2: 13, 3: 3}), and one extra degree-10 outer costs
+# more than the whole pre-loop estimate there (A/B: 7.32 vs 9.64 ms/call
+# b16; N=3600: 21.06 vs 26.92). At N=900 the device trips match and wide
+# wins by skipping the pre-loop RR + deg-3 filter (3.82 -> 3.13 ms/call
+# b24, 12.93 -> 11.76 b64). Split at 1024: wide below, estimate above.
+_WIDE_INIT_MAX_N = 1024
+
 
 def sign_fix(eigenvectors: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
     """Resolve eigenvector sign ambiguity the way the reference does: flip a vector
@@ -116,6 +138,7 @@ def laplacian_eigs(
     cheb_degree: int = 10,
     cheb_guard: bool = True,
     cheb_filter_impl: str = "auto",
+    cheb_window_init: str = "auto",
     matvec_precision: str = "bf16",
     return_residual: bool = False,
     w_scale: Optional[jax.Array] = None,
@@ -155,6 +178,19 @@ def laplacian_eigs(
     cheb_outer / cheb_degree: chebyshev filter budget (outer iterations x
             polynomial degree); defaults validated in tests. Exposed mainly
             so tests can force under-convergence to exercise the guard.
+    cheb_window_init: 'wide' / 'wide@<lam_cut>' — the FIRST outer iteration
+            filters with a fixed window [lam_cut, 2] (default lam_cut
+            _WIDE_INIT_LAM_CUT = 1.0) instead of running the round-3
+            pre-loop window estimate (a degree-3 filter + a full
+            Rayleigh-Ritz, ~1/3 of the r4b-profiled eigs phase).
+            'estimate' keeps the pre-loop path. 'auto' (default) resolves by
+            graph size at the measured on-device split (_WIDE_INIT_MAX_N):
+            'wide' for N <= 1024 (+10-22% eigs phase at N=900 — device trip
+            counts match the pre-loop's), 'estimate' above (device trip
+            counts inflate under 'wide' at N >= 2025 and one extra outer
+            outweighs the pre-loop there). Convergence-vs-budget data:
+            scripts/study_cheb_budget.py (CPU + --platform device) and
+            scripts/ab_cheb_window.py (device A/B).
     cheb_filter_impl: 'xla' — the filter chain as XLA dots (each matvec
             streams the (N, N) operator from HBM); 'pallas' — the
             VMEM-resident kernel (ops/cheb_filter.py): one operator read
@@ -247,7 +283,7 @@ def laplacian_eigs(
             W, d, K, m_block, cheb_outer, cheb_degree, mask, apply_sign_fix,
             matvec_dtype=(jnp.float32 if matvec_precision == "f32"
                           else jnp.bfloat16), w_scale=ws,
-            filter_impl=cheb_filter_impl)
+            filter_impl=cheb_filter_impl, window_init=cheb_window_init)
         if return_residual:
             return evals, vectors, res
         if not cheb_guard:
@@ -373,7 +409,8 @@ def resolved_cheb_impl(N: int, filter_impl: str = "auto",
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
                          apply_sign_fix, matvec_dtype=jnp.bfloat16,
-                         w_scale=None, filter_impl="xla"):
+                         w_scale=None, filter_impl="xla",
+                         window_init="auto"):
     """Chebyshev-filtered subspace iteration for the smallest-K eigenpairs of
     the WHITENED Laplacian (lapnorm=True only) — the 'auto' default for
     lapnorm graphs with N in [512, 2048], residual-guarded (see below).
@@ -473,20 +510,62 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         from .cheb_filter import chebyshev_filter
     interp = jax.default_backend() != "tpu"
 
-    # window estimate: a degree-3 bottom-emphasizing filter, then one RR. The
-    # Rayleigh quotients overestimate the true smallest eigenvalues, so
-    # 1.5x theta_K safely contains the wanted window.
-    if use_pallas:
-        # Same kernel as the main chain with (c, e) = (2, 1): T_3(A - 2I)
-        # magnifies the bottom of [0, 2] like the (2I - A)^3 power steps
-        # (|T_3|: 26 at lam=0 -> 0 at lam=2) — one HBM read of the operator
-        # instead of 3. Growth <= 26x, safe in f32; rr column-normalizes.
-        X = chebyshev_filter(S_fast, X, 2.0, 1.0, degree=3, interpret=interp)
+    if window_init == "auto":
+        # Measured on-device split (see _WIDE_INIT_MAX_N): skip-the-pre-loop
+        # 'wide' wins at small N, the adaptive pre-loop 'estimate' wins once
+        # one extra degree-10 outer costs more than the pre-loop.
+        window_init = "wide" if N <= _WIDE_INIT_MAX_N else "estimate"
+
+    if window_init == "estimate":
+        # Round-3 pre-loop window estimate: a degree-3 bottom-emphasizing
+        # filter, then one RR. The Rayleigh quotients overestimate the true
+        # smallest eigenvalues, so 1.5x theta_K safely contains the wanted
+        # window. Superseded as the default by 'wide' (see below) — the r4b
+        # device profile showed this pre-loop costing as much as the whole
+        # adaptive loop (deg-3 filter 2.67 ms + RR small-eighs ~4.8 ms of a
+        # 21.9 ms phase at N=900 b64).
+        if use_pallas:
+            # Same kernel as the main chain with (c, e) = (2, 1): T_3(A - 2I)
+            # magnifies the bottom of [0, 2] like the (2I - A)^3 power steps
+            # (|T_3|: 26 at lam=0 -> 0 at lam=2) — one HBM read of the
+            # operator instead of 3. Growth <= 26x, safe in f32; rr
+            # column-normalizes.
+            X = chebyshev_filter(S_fast, X, 2.0, 1.0, degree=3,
+                                 interpret=interp)
+        else:
+            for _ in range(3):
+                X = 2.0 * X - A_mv_fast(X)
+                X = X / jnp.maximum(
+                    jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
+        X, theta, res = rr(X)
+    elif window_init == "wide" or window_init.startswith("wide@"):
+        # 'wide' / 'wide@<lam_cut>': skip the pre-loop entirely. Seed theta
+        # so the FIRST loop iteration's window() resolves to a FIXED damping
+        # window [lam_cut0, 2] — the first in-loop RR then produces the same
+        # interlacing-safe theta the pre-loop produced, one full RR + one
+        # filter cheaper. res seeds at +inf so the loop always runs at least
+        # one iteration. lam_cut0 trades safety for first-pass selectivity:
+        # at 1.8 (maximal window) nothing the clip would ever admit is
+        # damped, but bottom-emphasis is weak (T_10 ratio ~5.6x between
+        # lam=0 and lam=0.3) and trip counts inflate vs the pre-loop
+        # estimate (CPU study: {2: 46, 3: 17, 4: 1} vs {2: 60, 3: 4});
+        # tighter windows amplify the bottom harder (1.33^10 ~ 18x at
+        # lam_cut0=0.75). Image-Laplacian lam_K sits far below 0.75
+        # (measured < 0.1 on the structured set), and any graph whose
+        # wanted band the fixed window damps under-converges and is caught
+        # by the residual guard -> exact eigh fallback, so a tighter
+        # default is safe-by-construction, just slower on pathological
+        # graphs. The default lam_cut0 is picked by the on-device A/B
+        # (scripts/ab_cheb_window.py) among CPU-converged candidates
+        # (scripts/study_cheb_budget.py).
+        lam_cut0 = (_WIDE_INIT_LAM_CUT if window_init == "wide"
+                    else float(window_init.split("@", 1)[1]))
+        theta = jnp.full((m_block,), (lam_cut0 - 1e-3) / 1.5, jnp.float32)
+        res = jnp.float32(jnp.inf)
     else:
-        for _ in range(3):
-            X = 2.0 * X - A_mv_fast(X)
-            X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True), 1e-20)
-    X, theta, res = rr(X)
+        raise ValueError(
+            f"cheb_window_init must be 'wide', 'wide@<lam_cut>' or "
+            f"'estimate'; got {window_init!r}")
 
     def window(theta):
         # Filter window [lam_cut, 2]: damp everything above lam_cut, amplify
@@ -627,6 +706,8 @@ def spectral_decompose(
     mask: Optional[jax.Array] = None,
     solver: str = "auto",
     cheb_filter_impl: str = "auto",
+    cheb_window_init: str = "auto",
+    cheb_degree: int = 10,
     return_residual: bool = False,
 ):
     """Fused end-to-end spectral decomposition of one image's patch features.
@@ -656,6 +737,8 @@ def spectral_decompose(
             return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask,
                                   solver=solver,
                                   cheb_filter_impl=cheb_filter_impl,
+                                  cheb_window_init=cheb_window_init,
+                                  cheb_degree=cheb_degree,
                                   return_residual=return_residual,
                                   w_premasked=True)
         # No fusion: defer the max-normalization into the solver's whitening
@@ -668,6 +751,8 @@ def spectral_decompose(
         w_scale = 1.0 / jnp.maximum(jnp.max(W), 1e-12)
         return laplacian_eigs(W, K, lapnorm=lapnorm, mask=mask, solver=solver,
                               cheb_filter_impl=cheb_filter_impl,
+                              cheb_window_init=cheb_window_init,
+                              cheb_degree=cheb_degree,
                               return_residual=return_residual,
                               w_scale=w_scale, w_premasked=True)
     if which_matrix in ("affinity", "affinity_torch"):
@@ -686,7 +771,8 @@ def spectral_decompose(
 
 @partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
                                    "lapnorm", "image_color_lambda", "solver",
-                                   "cheb_filter_impl", "return_residual",
+                                   "cheb_filter_impl", "cheb_window_init",
+                                   "cheb_degree", "return_residual",
                                    "eig_chunk"))
 def spectral_decompose_batched(
     feats: jax.Array,
@@ -701,6 +787,8 @@ def spectral_decompose_batched(
     image_color_lambda: float = 0.0,
     solver: str = "auto",
     cheb_filter_impl: str = "auto",
+    cheb_window_init: str = "auto",
+    cheb_degree: int = 10,
     return_residual: bool = False,
     eig_chunk: Optional[int] = None,
 ):
@@ -734,6 +822,7 @@ def spectral_decompose_batched(
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             color_W=cw, image_color_lambda=image_color_lambda, mask=m,
             solver=slv, cheb_filter_impl=cheb_filter_impl,
+            cheb_window_init=cheb_window_init, cheb_degree=cheb_degree,
             return_residual=True,
         )
     if masks is None:

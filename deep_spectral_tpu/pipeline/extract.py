@@ -237,6 +237,7 @@ def extract_eigs(
     bucket_granularity: int = 4,
     solver: str = "auto",  # 'eigh' (exact) | 'lobpcg' (fast) | 'auto'
     cheb_filter_impl: str = "auto",  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
+    cheb_window_init: str = "auto",  # auto|wide|wide@<lam_cut>|estimate
     eig_chunk: Optional[int] = None,  # sub-batch the solve (ops/eigen.py)
 ):
     """Laplacian/affinity eigendecomposition per image
@@ -259,7 +260,8 @@ def extract_eigs(
     def solve_batched(*args, **kwargs):
         try:
             return spectral_decompose_batched(
-                *args, cheb_filter_impl=filter_impl_state["impl"], **kwargs)
+                *args, cheb_filter_impl=filter_impl_state["impl"],
+                cheb_window_init=cheb_window_init, **kwargs)
         except Exception as exc:  # noqa: BLE001 — never-crash contract
             if filter_impl_state["impl"] == "xla":
                 raise
@@ -269,7 +271,8 @@ def extract_eigs(
                   f"filter chain for the rest of this run")
             filter_impl_state["impl"] = "xla"
             return spectral_decompose_batched(
-                *args, cheb_filter_impl="xla", **kwargs)
+                *args, cheb_filter_impl="xla",
+                cheb_window_init=cheb_window_init, **kwargs)
 
     def lr_grid_of(s) -> Tuple[int, int]:
         f = s.P if image_downsample_factor is None else image_downsample_factor

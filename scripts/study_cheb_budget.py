@@ -16,6 +16,7 @@ is the smallest n with residual <= tol.
 
 Run (CPU): JAX_PLATFORMS=cpu python -u scripts/study_cheb_budget.py
 """
+import argparse
 import collections
 import sys
 from pathlib import Path
@@ -28,40 +29,63 @@ import jax
 
 
 def main():
-    jax.config.update("jax_platforms", "cpu")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--grid", type=int, default=30)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--variants",
+                    default="estimate:10,wide@1.8:10,wide@1.0:10,"
+                            "wide@0.75:10,wide@0.5:10,wide@0.75:14,wide:20")
+    ap.add_argument("--platform", default="cpu",
+                    help="cpu (default) or device: trip counts can differ "
+                         "on the TPU (bf16 MXU filter matvecs vs the CPU "
+                         "study) — the device run decides defaults")
+    a = ap.parse_args()
+    variants = [(w, int(d)) for w, d in
+                (v.rsplit(":", 1) for v in a.variants.split(","))]
+    if a.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from bench import _structured_features
     from deep_spectral_tpu.ops.affinity import feature_affinity
     from deep_spectral_tpu.ops.eigen import CHEB_RESIDUAL_TOL, laplacian_eigs
 
-    B, grid, D, K = 64, 30, 384, 5
+    B, grid, D, K = a.batch, a.grid, 384, 5
     rng = np.random.default_rng(0)
     feats = _structured_features(B, grid, D, rng)
 
     Ws, scales = [], []
     for b in range(B):
         W = feature_affinity(jnp.asarray(feats[b]), max_normalize=False)
-        Ws.append(W)
+        Ws.append(np.asarray(W))
         scales.append(1.0 / float(jnp.max(W)))
+    Ws = jnp.asarray(np.stack(Ws))
+    scales = jnp.asarray(np.asarray(scales, np.float32))
 
-    for degree in (10, 14, 20):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n", "degree", "win_init"))
+    def solve_batch(Ws, scales, n, degree, win_init):
+        def one(W, sc):
+            _, _, rr = laplacian_eigs(
+                W, K, solver="chebyshev", cheb_outer=n, cheb_degree=degree,
+                w_scale=sc, return_residual=True, matvec_precision="bf16",
+                cheb_window_init=win_init)
+            return rr
+        return jax.vmap(one)(Ws, scales)
+
+    for win_init, degree in variants:
         # residual per image per outer budget
         res_at = {}
         for n in (1, 2, 3, 4):
-            r = []
-            for b in range(B):
-                _, _, rr = laplacian_eigs(
-                    Ws[b], K, solver="chebyshev", cheb_outer=n,
-                    cheb_degree=degree, w_scale=jnp.float32(scales[b]),
-                    return_residual=True, matvec_precision="bf16")
-                r.append(float(rr))
-            res_at[n] = np.asarray(r)
+            res_at[n] = np.asarray(solve_batch(Ws, scales, n, degree,
+                                               win_init))
         trips = np.full(B, 99)
         for n in (4, 3, 2, 1):
             trips[res_at[n] <= CHEB_RESIDUAL_TOL] = n
         dist = collections.Counter(trips.tolist())
         conv4 = int((res_at[4] <= CHEB_RESIDUAL_TOL).sum())
-        print(f"degree {degree:2d}: trip dist {dict(sorted(dist.items()))} "
+        print(f"N={grid*grid} {win_init:9s} degree {degree:2d}: "
+              f"trip dist {dict(sorted(dist.items()))} "
               f"(99 = unconverged at 4); converged@4 {conv4}/{B}; "
               f"worst residual@4 {res_at[4].max():.2e}", flush=True)
 

@@ -360,3 +360,47 @@ def test_resolved_cheb_impl_reports_actual_impl(monkeypatch):
     assert eigen_mod.resolved_cheb_impl(900, "pallas",
                                         jnp.float32) == "xla"  # bf16 only
     assert eigen_mod.resolved_cheb_impl(8000, "pallas") == "xla"  # VMEM gate
+
+
+# ---------------------------------------------------------------------------
+# Round-4 budget retune: cheb_window_init='wide' (the new default) skips the
+# round-3 pre-loop window estimate (a degree-3 filter + a full Rayleigh-Ritz,
+# ~1/3 of the measured eigs phase) by running the FIRST outer iteration with
+# the maximal [1.8, 2] damping window. These tests pin that both inits solve
+# image graphs to the same subspace, that the legacy 'estimate' path stays
+# reachable, and that unknown values fail loudly.
+
+@pytest.mark.parametrize("win_init", ["wide", "estimate"])
+def test_window_init_variants_match_eigh(win_init):
+    K = 5
+    for trial in range(2):
+        feats = _smooth_features(np.random.default_rng(trial + 11), 30, 30)
+        W = jnp.asarray(np.asarray(feature_affinity(jnp.asarray(feats))))
+        ev_r, V_r = laplacian_eigs(W, K, solver="eigh", apply_sign_fix=False)
+        ev, V, res = laplacian_eigs(W, K, solver="chebyshev",
+                                    cheb_window_init=win_init,
+                                    apply_sign_fix=False,
+                                    return_residual=True)
+        assert float(res) <= 2e-3, (win_init, trial)
+        assert _subspace_cos(V, V_r) > 0.999, (win_init, trial)
+        np.testing.assert_allclose(np.asarray(ev), np.asarray(ev_r),
+                                   atol=5e-3, rtol=5e-2)
+
+
+def test_window_init_wide_guarded_on_adversarial_spectra():
+    """The wide first window must not weaken the guard: the worst adversarial
+    case (lam_K above the clipped window bound) still falls back to eigh."""
+    K = 5
+    W = jnp.asarray(_adversarial_cases(K)["lamK_above_window"])
+    ev_r, V_r = laplacian_eigs(W, K, solver="eigh", apply_sign_fix=False)
+    ev, V = laplacian_eigs(W, K, solver="auto", cheb_window_init="wide",
+                           apply_sign_fix=False)
+    assert np.isfinite(np.asarray(V)).all()
+    assert _subspace_cos(V, V_r) > 0.999
+
+
+def test_window_init_unknown_value_rejected():
+    feats = _smooth_features(np.random.default_rng(3), 24, 24)
+    W = feature_affinity(jnp.asarray(feats))
+    with pytest.raises(ValueError, match="cheb_window_init"):
+        laplacian_eigs(W, 5, solver="chebyshev", cheb_window_init="wyde")
