@@ -106,20 +106,26 @@ def _resolve_solver(N: int, m_block: int, lapnorm: bool, solver: str) -> str:
     """Static 'auto' solver selection (shapes are static under jit).
 
     Regime split measured on v5e (device-time harness):
-      N in [512, 2048], lapnorm: chebyshev — the solve is dominated by
-        lobpcg's per-iteration RR/SVQB batched small-eigh custom-calls, which
+      lapnorm graphs up to the Pallas filter's VMEM admission (~3700 bf16,
+        ops/cheb_filter.fits_vmem): chebyshev — lobpcg's per-iteration
+        RR/SVQB batched small-eigh custom-calls dominate its solve, which
         chebyshev replaces with pure matvec chains (13.5 vs 36.6 ms per
-        b64 N=900 K=5 batch, 2.7x; >= 0.9997 subspace cosine).
-      N > 2048 (or lapnorm=False, which chebyshev does not support): lobpcg —
-        matvecs dominate and its tol early-exit adapts the iteration count,
-        while chebyshev's fixed 43-matvec budget costs more (104 vs 147 img/s
-        at the vits8 b16 N=3600 composite).
+        b64 N=900 K=5 batch in round 3; at N=3600 b16 the r4c eigs-only
+        A/B has chebyshev 21.06 vs lobpcg 27.61 ms/call — the round-2
+        "lobpcg above 2048" split predates the VMEM-resident filter, the
+        premasked Gram fusion and the adaptive outer loop, all of which
+        moved the crossover). The same boundary is used off-TPU (the XLA
+        filter chain) so CPU tests mirror device solver selection.
+      N above the VMEM admission (or lapnorm=False, which chebyshev does
+        not support): lobpcg — unmeasured chebyshev territory (the filter
+        would fall back to d HBM streams of the operator per chain).
       small N: dense eigh.
     """
     if solver != "auto":
         return solver
     if N >= 4 * m_block + 1 and N >= 512:
-        return "chebyshev" if (lapnorm and N <= 2048) else "lobpcg"
+        from .cheb_filter import fits_vmem
+        return "chebyshev" if (lapnorm and fits_vmem(N)) else "lobpcg"
     return "eigh"
 
 
@@ -810,11 +816,13 @@ def spectral_decompose_batched(
     outer loop under vmap runs until EVERY lane converges, so one slow graph
     forces the batch-max outer count (each extra outer = `degree` streams of
     each lane's (N, N) operator); chunking confines that penalty to the slow
-    graph's chunk. Sequentializing chunks costs little on a single TPU core —
-    both the Pallas filter grid and the batched RR small-eighs already
-    execute lane-sequentially. Must divide the batch; None/0 = whole batch
-    (the default; the measured win at the flagship config decides whether
-    the pipeline passes it — see scripts/sweep_eig_chunk.py).
+    graph's chunk. Must divide the batch; None/0 = whole batch. Measured on
+    device (scripts/sweep_eig_chunk.py, r4c, N=900): at the b24 bench
+    default WHOLE BATCH wins (1.93 ms/call vs 2.74/3.16/3.44 at chunks
+    4/8/12 — the lax.map sequentialization overhead exceeds any saved
+    outers), while at b64 chunk=8 wins 10.32 vs 11.80 ms/call (more lanes
+    = higher batch-max trip odds). Default stays None; pass 8 for b >= 64
+    batches.
     """
     def one(f, m, cw, slv):
         return spectral_decompose(

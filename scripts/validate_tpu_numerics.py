@@ -65,8 +65,9 @@ def main():
         _, vec_e = spectral_decompose_batched(feats, mask, K=5, solver="eigh")
         vec_e = np.asarray(vec_e)
         variants = [("chebyshev", "xla"), ("lobpcg", "xla")]
-        if N <= 2048:
-            variants.append(("chebyshev", "pallas"))  # VMEM-resident filter
+        from deep_spectral_tpu.ops.cheb_filter import fits_vmem
+        if fits_vmem(N):  # VMEM-resident filter (raised scoped limit: ~3700)
+            variants.append(("chebyshev", "pallas"))
         for slv, impl in variants:
             out = spectral_decompose_batched(feats, mask, K=5, solver=slv,
                                              cheb_filter_impl=impl,

@@ -1,5 +1,6 @@
 """Chebyshev-filtered subspace solver (the residual-guarded 'auto' default
-for lapnorm graphs with N in [512, 2048]) vs the exact dense path."""
+for lapnorm graphs from N=512 up to the Pallas filter's VMEM admission,
+~3700) vs the exact dense path."""
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -57,7 +58,8 @@ def test_chebyshev_rejects_lapnorm_false(rng):
 
 # ---------------------------------------------------------------------------
 # Round-3 convergence guard (VERDICT #1): the chebyshev solver became the
-# 'auto' default for lapnorm graphs with N in [512, 2048]; these tests pin
+# 'auto' default for lapnorm graphs with N >= 512 (up to the VMEM
+# admission boundary since r4c); these tests pin
 # (a) the auto+lapnorm=False regression fix, (b) the residual guard catching
 # deliberately under-converged solves, and (c) auto-path quality >= 0.999
 # subspace cosine across adversarial spectra where unguarded chebyshev fails.
