@@ -162,9 +162,10 @@ def laplacian_eigs(
             image-structured graphs; 'chebyshev' — Chebyshev-filtered
             subspace iteration (~9 small-eigh calls vs LOBPCG's ~90; see
             _chebyshev_laplacian), residual-guarded (see cheb_guard);
-            'auto' — chebyshev for lapnorm graphs with N in [512, 2048]
-            (and N >= 4*(K + extra)), lobpcg for larger graphs or
-            lapnorm=False, eigh for small graphs (see _resolve_solver).
+            'auto' — chebyshev for lapnorm graphs from N=512 up to the
+            Pallas filter's VMEM admission (~3700; and N >= 4*(K + extra)),
+            lobpcg for larger graphs or lapnorm=False, eigh for small
+            graphs (see _resolve_solver).
     cheb_guard: the chebyshev solver ends with a cheap residual check (one
             extra block matvec, max_k ||A x_k - theta_k x_k|| on the whitened
             operator). When cheb_guard=True (default) and the residual
@@ -419,7 +420,8 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
                          window_init="auto"):
     """Chebyshev-filtered subspace iteration for the smallest-K eigenpairs of
     the WHITENED Laplacian (lapnorm=True only) — the 'auto' default for
-    lapnorm graphs with N in [512, 2048], residual-guarded (see below).
+    lapnorm graphs from N=512 up to the Pallas filter's VMEM admission
+    (~3700), residual-guarded (see below).
 
     Motivation (round-2 profile): jax's lobpcg_standard spends ~91% of its
     device time in per-iteration Rayleigh-Ritz/SVQB batched small-eigh
@@ -526,10 +528,11 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         # Round-3 pre-loop window estimate: a degree-3 bottom-emphasizing
         # filter, then one RR. The Rayleigh quotients overestimate the true
         # smallest eigenvalues, so 1.5x theta_K safely contains the wanted
-        # window. Superseded as the default by 'wide' (see below) — the r4b
+        # window. Superseded by 'wide' for N <= _WIDE_INIT_MAX_N — the r4b
         # device profile showed this pre-loop costing as much as the whole
         # adaptive loop (deg-3 filter 2.67 ms + RR small-eighs ~4.8 ms of a
-        # 21.9 ms phase at N=900 b64).
+        # 21.9 ms phase at N=900 b64) — but still the faster init for
+        # larger graphs, where device trip counts inflate under 'wide'.
         if use_pallas:
             # Same kernel as the main chain with (c, e) = (2, 1): T_3(A - 2I)
             # magnifies the bottom of [0, 2] like the (2I - A)^3 power steps

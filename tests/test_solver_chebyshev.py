@@ -406,3 +406,22 @@ def test_window_init_unknown_value_rejected():
     W = feature_affinity(jnp.asarray(feats))
     with pytest.raises(ValueError, match="cheb_window_init"):
         laplacian_eigs(W, 5, solver="chebyshev", cheb_window_init="wyde")
+
+
+def test_auto_solver_regime_boundaries():
+    """r4c regime raise: 'auto' selects chebyshev for lapnorm graphs up to
+    the Pallas filter's VMEM admission (~3700), lobpcg above it and for
+    lapnorm=False, eigh for tiny graphs — the measured v5e split
+    (eigs-only A/B at N=3600 b16: chebyshev 21.15 vs lobpcg 27.61 ms)."""
+    from deep_spectral_tpu.ops import cheb_filter
+    from deep_spectral_tpu.ops.eigen import _resolve_solver
+
+    assert _resolve_solver(900, 8, True, "auto") == "chebyshev"
+    assert _resolve_solver(3600, 8, True, "auto") == "chebyshev"
+    assert cheb_filter.fits_vmem(3600)
+    assert not cheb_filter.fits_vmem(8000)
+    assert _resolve_solver(8000, 8, True, "auto") == "lobpcg"
+    assert _resolve_solver(3600, 8, False, "auto") == "lobpcg"
+    assert _resolve_solver(100, 8, True, "auto") == "eigh"
+    # explicit solver requests pass through untouched
+    assert _resolve_solver(8000, 8, True, "chebyshev") == "chebyshev"
