@@ -67,10 +67,11 @@ _WIDE_INIT_LAM_CUT = 1.0
 # CPU study at large N — at N=2025 the device runs estimate at batch-max 2
 # outers but wide at 3 ({2: 13, 3: 3}), and one extra degree-10 outer costs
 # more than the whole pre-loop estimate there (A/B: 7.32 vs 9.64 ms/call
-# b16; N=3600: 21.06 vs 26.92). At N=900 the device trips match and wide
-# wins by skipping the pre-loop RR + deg-3 filter (3.82 -> 3.13 ms/call
-# b24, 12.93 -> 11.76 b64). Split at 1024: wide below, estimate above.
-_WIDE_INIT_MAX_N = 1024
+# b16; N=3600: 21.06 vs 26.92). At N <= 1600 the device trips match and
+# wide wins by skipping the pre-loop RR + deg-3 filter (N=900: 3.82 ->
+# 3.13 ms/call b24, 12.93 -> 11.76 b64; N=1600 b16: 5.36 -> 5.08).
+# Split at the last measured wide-wins size: wide <= 1600, estimate above.
+_WIDE_INIT_MAX_N = 1600
 
 
 def sign_fix(eigenvectors: jax.Array, mask: Optional[jax.Array] = None) -> jax.Array:
@@ -192,9 +193,9 @@ def laplacian_eigs(
             Rayleigh-Ritz, ~1/3 of the r4b-profiled eigs phase).
             'estimate' keeps the pre-loop path. 'auto' (default) resolves by
             graph size at the measured on-device split (_WIDE_INIT_MAX_N):
-            'wide' for N <= 1024 (+10-22% eigs phase at N=900 — device trip
-            counts match the pre-loop's), 'estimate' above (device trip
-            counts inflate under 'wide' at N >= 2025 and one extra outer
+            'wide' for N <= 1600 (+5-22% eigs phase — device trip counts
+            match the pre-loop's), 'estimate' above (device trip counts
+            inflate under 'wide' at N >= 2025 and one extra outer
             outweighs the pre-loop there). Convergence-vs-budget data:
             scripts/study_cheb_budget.py (CPU + --platform device) and
             scripts/ab_cheb_window.py (device A/B).
