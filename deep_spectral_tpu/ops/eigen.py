@@ -23,7 +23,7 @@ slicing the smallest K is unaffected.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -103,30 +103,51 @@ def _pad_aware_eigh(A: jax.Array, mask: Optional[jax.Array]) -> Tuple[jax.Array,
     return evals, evecs
 
 
-def _resolve_solver(N: int, m_block: int, lapnorm: bool, solver: str) -> str:
+# 'auto' regime boundary for the HBM-streaming XLA filter chain (forced
+# cheb_filter_impl='xla', the pipeline's runtime pallas->xla downgrade, or
+# matvec_precision='f32'): the raised ~3700 cutoff was only measured on the
+# VMEM-resident Pallas path; without it each matvec streams the (N, N)
+# operator from HBM and the round-2 measurement (lobpcg wins above 2048)
+# still applies (ADVICE r4).
+_XLA_CHAIN_CHEB_MAX_N = 2048
+
+
+def _resolve_solver(N: int, m_block: int, lapnorm: bool, solver: str,
+                    filter_impl: str = "auto",
+                    matvec_dtype=jnp.bfloat16) -> str:
     """Static 'auto' solver selection (shapes are static under jit).
 
     Regime split measured on v5e (device-time harness):
       lapnorm graphs up to the Pallas filter's VMEM admission (~3700 bf16,
-        ops/cheb_filter.fits_vmem): chebyshev — lobpcg's per-iteration
-        RR/SVQB batched small-eigh custom-calls dominate its solve, which
-        chebyshev replaces with pure matvec chains (13.5 vs 36.6 ms per
-        b64 N=900 K=5 batch in round 3; at N=3600 b16 the r4c eigs-only
-        A/B has chebyshev 21.06 vs lobpcg 27.61 ms/call — the round-2
-        "lobpcg above 2048" split predates the VMEM-resident filter, the
-        premasked Gram fusion and the adaptive outer loop, all of which
-        moved the crossover). The same boundary is used off-TPU (the XLA
-        filter chain) so CPU tests mirror device solver selection.
-      N above the VMEM admission (or lapnorm=False, which chebyshev does
-        not support): lobpcg — unmeasured chebyshev territory (the filter
-        would fall back to d HBM streams of the operator per chain).
+        ops/cheb_filter.fits_vmem, evaluated at the ACTUAL block size):
+        chebyshev — lobpcg's per-iteration RR/SVQB batched small-eigh
+        custom-calls dominate its solve, which chebyshev replaces with pure
+        matvec chains (13.5 vs 36.6 ms per b64 N=900 K=5 batch in round 3;
+        at N=3600 b16 the r4c eigs-only A/B has chebyshev 21.06 vs lobpcg
+        27.61 ms/call — the round-2 "lobpcg above 2048" split predates the
+        VMEM-resident filter, the premasked Gram fusion and the adaptive
+        outer loop, all of which moved the crossover). The raised cutoff
+        applies when the Pallas filter will (or, off-TPU with 'auto'/
+        'pallas', WOULD on TPU — so CPU tests mirror device selection) run;
+        a forced XLA chain or f32 matvecs keep the old 2048 boundary
+        (_XLA_CHAIN_CHEB_MAX_N), the regime where lobpcg was measured to
+        win over HBM-streaming chebyshev.
+      N above the boundary (or lapnorm=False, which chebyshev does not
+        support): lobpcg.
       small N: dense eigh.
     """
     if solver != "auto":
         return solver
     if N >= 4 * m_block + 1 and N >= 512:
+        if not lapnorm:
+            return "lobpcg"
         from .cheb_filter import fits_vmem
-        return "chebyshev" if (lapnorm and fits_vmem(N)) else "lobpcg"
+        pallas_filter = (filter_impl != "xla"
+                         and matvec_dtype == jnp.bfloat16
+                         and fits_vmem(N, matvec_dtype, m=m_block))
+        if pallas_filter:
+            return "chebyshev"
+        return "chebyshev" if N <= _XLA_CHAIN_CHEB_MAX_N else "lobpcg"
     return "eigh"
 
 
@@ -275,8 +296,12 @@ def laplacian_eigs(
         d_raw = jnp.sum(W, axis=-1) * ws
         d = jnp.where(d_raw < 1e-12, 1.0, d_raw)
 
+    validate_cheb_window_init(cheb_window_init)
     m_block = K + lobpcg_block_extra
-    solver = _resolve_solver(N, m_block, lapnorm, solver)
+    solver = _resolve_solver(
+        N, m_block, lapnorm, solver, filter_impl=cheb_filter_impl,
+        matvec_dtype=(jnp.float32 if matvec_precision == "f32"
+                      else jnp.bfloat16))
 
     if solver == "lobpcg":
         iters = lobpcg_iters if lobpcg_iters is not None else (60 if N <= 2048 else 100)
@@ -402,17 +427,38 @@ def _resolve_filter_impl(filter_impl: str) -> str:
 
 
 def resolved_cheb_impl(N: int, filter_impl: str = "auto",
-                       matvec_dtype=jnp.bfloat16) -> str:
+                       matvec_dtype=jnp.bfloat16, m: int = 8) -> str:
     """The chebyshev filter impl that will ACTUALLY run for an (N, N)
-    operator: applies the backend resolution ('auto'), the bf16 requirement,
-    and the VMEM admission guard. Lets callers (bench.py) report the real
-    impl instead of the unresolved request string (ADVICE r3)."""
+    operator and an (N, m) block: applies the backend resolution ('auto'),
+    the bf16 requirement, and the VMEM admission guard. Lets callers
+    (bench.py) report the real impl instead of the unresolved request
+    string (ADVICE r3). `m` is the solver block size K + lobpcg_block_extra
+    — the default 8 matches the pipeline's K=5 + 3; larger K near the
+    admission boundary shrinks the admitted N (ADVICE r4)."""
     impl = _resolve_filter_impl(filter_impl)
     if impl == "pallas":
         from .cheb_filter import fits_vmem
-        if matvec_dtype != jnp.bfloat16 or not fits_vmem(N, matvec_dtype):
+        if matvec_dtype != jnp.bfloat16 or not fits_vmem(N, matvec_dtype, m=m):
             return "xla"
     return impl
+
+
+def validate_cheb_window_init(window_init: str) -> None:
+    """Fail fast on an invalid cheb_window_init — BEFORE any compile is
+    attempted, so the pipeline's never-crash pallas->xla fallback (which
+    catches build failures broadly) cannot misreport a caller typo as a
+    kernel compile failure (ADVICE r4)."""
+    if window_init in ("auto", "wide", "estimate"):
+        return
+    if isinstance(window_init, str) and window_init.startswith("wide@"):
+        try:
+            float(window_init.split("@", 1)[1])
+            return
+        except ValueError:
+            pass
+    raise ValueError(
+        f"cheb_window_init must be 'auto', 'wide', 'wide@<lam_cut>' or "
+        f"'estimate'; got {window_init!r}")
 
 
 def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
@@ -514,7 +560,8 @@ def _chebyshev_laplacian(W, d, K, m_block, n_outer, degree, mask,
         res = jnp.where(jnp.isfinite(res), res, jnp.inf)
         return Xr, theta, res
 
-    use_pallas = resolved_cheb_impl(N, filter_impl, matvec_dtype) == "pallas"
+    use_pallas = resolved_cheb_impl(N, filter_impl, matvec_dtype,
+                                    m=m_block) == "pallas"
     if use_pallas:
         from .cheb_filter import chebyshev_filter
     interp = jax.default_backend() != "tpu"
@@ -779,6 +826,21 @@ def spectral_decompose(
     return (*out, jnp.float32(0.0)) if return_residual else out
 
 
+def resolve_eig_chunk(eig_chunk: Union[int, str, None], B: int) -> Optional[int]:
+    """Resolve the eig_chunk request for a batch of B images.
+
+    'auto' = the measured device rule (scripts/sweep_eig_chunk.py, r4c,
+    N=900, v5e): whole batch below b64 (the lax.map sequentialization
+    overhead exceeds any saved adaptive outers — 1.93 ms/call whole vs
+    2.74+ chunked at b24), chunk=8 at B >= 64 (10.32 vs 11.80 ms/call at
+    b64 — more lanes = higher batch-max trip odds). Falls back to whole
+    batch when 8 does not divide B. None/0 = whole batch; ints pass
+    through (validated against B by the caller)."""
+    if eig_chunk == "auto":
+        return 8 if (B >= 64 and B % 8 == 0) else None
+    return eig_chunk or None
+
+
 @partial(jax.jit, static_argnames=("K", "which_matrix", "normalize", "threshold_at_zero",
                                    "lapnorm", "image_color_lambda", "solver",
                                    "cheb_filter_impl", "cheb_window_init",
@@ -800,7 +862,7 @@ def spectral_decompose_batched(
     cheb_window_init: str = "auto",
     cheb_degree: int = 10,
     return_residual: bool = False,
-    eig_chunk: Optional[int] = None,
+    eig_chunk: Union[int, str, None] = "auto",
 ):
     """Batched `spectral_decompose`: feats (B, N, D), masks (B, N), color_W (B, N, N).
 
@@ -820,13 +882,13 @@ def spectral_decompose_batched(
     outer loop under vmap runs until EVERY lane converges, so one slow graph
     forces the batch-max outer count (each extra outer = `degree` streams of
     each lane's (N, N) operator); chunking confines that penalty to the slow
-    graph's chunk. Must divide the batch; None/0 = whole batch. Measured on
-    device (scripts/sweep_eig_chunk.py, r4c, N=900): at the b24 bench
-    default WHOLE BATCH wins (1.93 ms/call vs 2.74/3.16/3.44 at chunks
-    4/8/12 — the lax.map sequentialization overhead exceeds any saved
-    outers), while at b64 chunk=8 wins 10.32 vs 11.80 ms/call (more lanes
-    = higher batch-max trip odds). Default stays None; pass 8 for b >= 64
-    batches.
+    graph's chunk. An int must divide the batch; None/0 = whole batch;
+    'auto' (default) applies the measured device rule — see
+    resolve_eig_chunk. Measured on device (scripts/sweep_eig_chunk.py, r4c,
+    N=900): at the b24 bench default WHOLE BATCH wins (1.93 ms/call vs
+    2.74/3.16/3.44 at chunks 4/8/12 — the lax.map sequentialization
+    overhead exceeds any saved outers), while at b64 chunk=8 wins 10.32 vs
+    11.80 ms/call (more lanes = higher batch-max trip odds).
     """
     def one(f, m, cw, slv):
         return spectral_decompose(
@@ -847,12 +909,13 @@ def spectral_decompose_batched(
             return jax.vmap(lambda ff, mm, cc: one(ff, mm, cc, slv))(f, m, cw)
 
         B = feats.shape[0]
-        if not eig_chunk or eig_chunk >= B:
+        chunk = resolve_eig_chunk(eig_chunk, B)
+        if not chunk or chunk >= B:
             return vsolve(feats, masks, color_W)
-        if B % eig_chunk != 0:
+        if B % chunk != 0:
             raise ValueError(
-                f"eig_chunk={eig_chunk} must divide the batch size {B}")
-        rs = lambda x: x.reshape(B // eig_chunk, eig_chunk, *x.shape[1:])
+                f"eig_chunk={chunk} must divide the batch size {B}")
+        rs = lambda x: x.reshape(B // chunk, chunk, *x.shape[1:])
         out = jax.lax.map(
             lambda xs: vsolve(*xs),
             (rs(feats), rs(masks),
@@ -862,7 +925,8 @@ def spectral_decompose_batched(
     evals, vecs, res = solve(solver)
     if return_residual:
         return evals, vecs, res
-    eff = _resolve_solver(feats.shape[1], K + 3, lapnorm, solver)
+    eff = _resolve_solver(feats.shape[1], K + 3, lapnorm, solver,
+                          filter_impl=cheb_filter_impl)
     if which_matrix in ("laplacian", "matting_laplacian") and eff == "chebyshev":
         # Per-image guard via lax.scan: scan bodies run sequentially, so the
         # scalar-predicate lax.cond inside is a REAL branch (unlike under

@@ -41,7 +41,9 @@ from ..ops import (
 )
 from ..ops.affinity import knn_affinity, rw_affinity
 from ..ops.crf import dense_crf
-from ..ops.eigen import CHEB_RESIDUAL_TOL, spectral_decompose_batched
+from ..ops.eigen import (CHEB_RESIDUAL_TOL, resolve_eig_chunk,
+                         spectral_decompose_batched,
+                         validate_cheb_window_init)
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..utils import bucketing
 from ..utils.image_io import load_image_rgb, load_image_resized, normalize_imagenet, read_image_list
@@ -238,14 +240,23 @@ def extract_eigs(
     solver: str = "auto",  # 'eigh' (exact) | 'lobpcg' (fast) | 'auto'
     cheb_filter_impl: str = "auto",  # 'xla' | 'pallas' | 'auto' (pallas on TPU)
     cheb_window_init: str = "auto",  # auto|wide|wide@<lam_cut>|estimate
-    eig_chunk: Optional[int] = None,  # sub-batch the solve (ops/eigen.py)
+    eig_chunk: str = "auto",  # sub-batch the solve: auto|none|<int> (ops/eigen.py)
 ):
     """Laplacian/affinity eigendecomposition per image
     (reference: extract/extract.py:119-280), batched on device."""
     del multiprocessing
-    if eig_chunk and batch_size % eig_chunk != 0:
+    # Fail fast on bad knob values — BEFORE the never-crash pallas->xla
+    # fallback below can misreport a caller typo as a kernel build failure.
+    validate_cheb_window_init(cheb_window_init)
+    if isinstance(eig_chunk, str):
+        if eig_chunk.lower() in ("none", "", "0"):
+            eig_chunk = None
+        elif eig_chunk != "auto":
+            eig_chunk = int(eig_chunk)
+    chunk = resolve_eig_chunk(eig_chunk, batch_size)
+    if chunk and batch_size % chunk != 0:
         raise ValueError(
-            f"--eig_chunk {eig_chunk} must divide --batch_size {batch_size}")
+            f"--eig_chunk {chunk} must divide --batch_size {batch_size}")
     make_output_dir(output_dir)
 
     # The chebyshev solver's Pallas filter kernel is admission-guarded
@@ -262,6 +273,11 @@ def extract_eigs(
             return spectral_decompose_batched(
                 *args, cheb_filter_impl=filter_impl_state["impl"],
                 cheb_window_init=cheb_window_init, **kwargs)
+        except (ValueError, TypeError):
+            # Caller errors (bad knob values, shape mismatches) are not
+            # kernel build failures — re-raise instead of misreporting them
+            # as a pallas compile failure and poisoning the run (ADVICE r4).
+            raise
         except Exception as exc:  # noqa: BLE001 — never-crash contract
             if filter_impl_state["impl"] == "xla":
                 raise
@@ -342,7 +358,7 @@ def extract_eigs(
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
-            return_residual=True, eig_chunk=eig_chunk,
+            return_residual=True, eig_chunk=chunk,
         )
         # np.array (not asarray): the per-image fallback below writes in place,
         # and asarray of a jax array yields a read-only view.
@@ -843,12 +859,17 @@ def vis_segmentations(
 
     out = Path(output_dir)
     out.mkdir(parents=True, exist_ok=True)
-    bboxes_list = load_pth(bbox_file) if bbox_file else None
+    # Key bboxes by image id, not position: bboxes.pth is ordered by the
+    # sorted segmentations dir while images_list is whatever order the file
+    # is in — positional pairing silently draws the wrong boxes for an
+    # unsorted list (the stage-8 builder already pairs by id).
+    bboxes_by_id = (
+        {bd["id"]: bd for bd in load_pth(bbox_file)} if bbox_file else None)
     colors = matplotlib.colormaps["tab20"].resampled(21)
 
     rows = []
     names = Path(images_list).read_text().splitlines()
-    for i, name in enumerate(names[:max_images]):
+    for name in names[:max_images]:
         image_id = Path(name).stem
         image = load_image_rgb(Path(images_root) / name)
         segmap = load_segmap_png(Path(segmentations_dir) / f"{image_id}.png")
@@ -856,7 +877,7 @@ def vis_segmentations(
             segmap = (segmap == 255).astype(np.uint8)
         seg_full = np.asarray(resize_nearest(jnp.asarray(segmap.astype(np.int32)),
                                              image.shape[:2]))
-        ncols = 3 if bboxes_list is not None else 2
+        ncols = 3 if bboxes_by_id is not None else 2
         fig, axes = plt.subplots(1, ncols, figsize=(5 * ncols, 5))
         axes[0].imshow(image)
         axes[0].set_title(image_id)
@@ -865,9 +886,10 @@ def vis_segmentations(
         blend[seg_full == 0] = (image / 255.0)[seg_full == 0]
         axes[1].imshow(blend)
         axes[1].set_title("segments")
-        if bboxes_list is not None:
+        if bboxes_by_id is not None:
             axes[2].imshow(image)
-            for (xmin, ymin, xmax, ymax) in bboxes_list[i]["bboxes_original_resolution"]:
+            bd = bboxes_by_id.get(image_id, {"bboxes_original_resolution": []})
+            for (xmin, ymin, xmax, ymax) in bd["bboxes_original_resolution"]:
                 axes[2].add_patch(plt.Rectangle((xmin, ymin), xmax - xmin,
                                                 ymax - ymin, fill=False,
                                                 edgecolor="red", linewidth=2))

@@ -47,7 +47,10 @@ class SmoothedValue:
         (the reference's dist.all_reduce, util.py:109-121)."""
         if jax.process_count() == 1:
             return
-        arr = jnp.asarray([self.count, self.total], jnp.float64)
+        # Host numpy array (like parallel.distributed.all_sum_scalar): jnp
+        # would truncate the explicit float64 to f32 with a warning when x64
+        # is off; process_allgather accepts host arrays directly.
+        arr = np.asarray([self.count, self.total], np.float64)
         from jax.experimental import multihost_utils
         summed = multihost_utils.process_allgather(arr).sum(axis=0)
         self.count = int(summed[0])

@@ -4,7 +4,8 @@
 Why: the r4b eigs-phase profile (N=900 b64, pallas filter) split the 21.9 ms
 phase ~1/3 pre-loop window estimate (deg-3 filter 2.67 ms + RR small-eigh
 custom-calls ~4.8 ms), ~1/3 adaptive outer loop, ~1/3 W/S construction. The
-'wide' init replaces the pre-loop with a fixed [1.8, 2] first-outer window —
+'wide' init replaces the pre-loop with a fixed [1.0, 2] first-outer window
+(_WIDE_INIT_LAM_CUT, picked by this A/B among CPU-converged candidates) —
 one full RR and one filter cheaper when trip counts hold (CPU gate:
 scripts/study_cheb_budget.py).
 

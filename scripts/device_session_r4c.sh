@@ -1,7 +1,8 @@
 #!/bin/bash
 # Round-4c device session: validate + re-measure after the chebyshev
-# window-init retune (wide first window at N <= 1024, pre-loop estimate
-# above), then close the remaining r4 TODO items: the eig_chunk A/B and the
+# window-init retune (wide first window at N <= 1600 = _WIDE_INIT_MAX_N,
+# pre-loop estimate above), then close the remaining r4 TODO items: the
+# eig_chunk A/B and the
 # N=3600 solver-regime decision. Ordered by value-per-minute.
 set -u
 cd "$(dirname "$0")/.."

