@@ -46,8 +46,10 @@ from ..ops.eigen import (CHEB_RESIDUAL_TOL, resolve_eig_chunk,
                          validate_cheb_window_init)
 from ..ops.resize import resize_bilinear, resize_nearest
 from ..utils import bucketing
-from ..utils.image_io import load_image_rgb, load_image_resized, normalize_imagenet, read_image_list
-from ..utils.serialization import load_pth, save_pth, save_segmap_png, load_segmap_png
+from ..utils.image_io import (load_image_rgb, load_image_resized,
+                              normalize_imagenet_hwc, read_image_list)
+from ..utils.serialization import (load_pth, load_pth_meta, save_pth,
+                                   save_segmap_png, load_segmap_png)
 from ..utils.sizes import get_image_sizes
 
 
@@ -158,10 +160,25 @@ def extract_features(
     paths = read_image_list(images_list, images_root)
     rels = [p.name if images_root is not None else str(p) for p in paths]
 
+    # Images ship to the device as raw uint8 and normalize THERE: XLA fuses
+    # the multiply-add into the patch-embed conv's input, the host sheds its
+    # single biggest per-image cost (normalize = 4.4 ms of a ~9 ms/img host
+    # budget, scripts/profile_host_path.py), and host->device transfer drops
+    # 4x (1 byte/px vs float32) — on this tunnel transport, bandwidth IS the
+    # dispatch cost. Floor-cropping to patch multiples keeps every valid
+    # patch fully inside its image, so pad pixels never reach a kept token.
+    from ..utils.image_io import IMAGENET_SCALE, IMAGENET_SHIFT
+    dev_scale = jnp.asarray(IMAGENET_SCALE)
+    dev_shift = jnp.asarray(IMAGENET_SHIFT)
+
     @jax.jit
-    def fwd(images, token_mask):
-        return extract_patch_keys(model, params, images,
-                                  which_block=which_block, token_mask=token_mask)
+    def fwd(images_u8, token_mask):
+        images = images_u8.astype(jnp.float32) * dev_scale - dev_shift
+        k = extract_patch_keys(model, params, images,
+                               which_block=which_block, token_mask=token_mask)
+        # fp16 is the on-disk dtype anyway; converting on device halves the
+        # fetch bytes through the tunnel.
+        return k.astype(jnp.float16)
 
     # Host-side sizes (decode headers only) for bucketing.
     from PIL import Image
@@ -178,15 +195,15 @@ def extract_features(
     done = [0]
 
     def prepare(bucket: bucketing.Bucket, batch_items):
-        """Host side: decode + normalize + floor-crop + pad (runs in the
-        prefetch pool, overlapped with the device forward)."""
+        """Host side: decode + floor-crop + pad, all uint8 (runs in the
+        prefetch pool, overlapped with the device forward; normalization
+        happens on device — see fwd)."""
         imgs, metas = [], []
         for idx, path in batch_items:
             rgb = load_image_rgb(path)
             H, W = rgb.shape[:2]
-            x = normalize_imagenet(rgb).transpose(1, 2, 0)  # HWC float32
             H_pad, W_pad = (H // P) * P, (W // P) * P
-            imgs.append(x[:H_pad, :W_pad])
+            imgs.append(rgb[:H_pad, :W_pad])
             metas.append((idx, rels[idx], (1, 3, H, W)))
         padded, extents = bucketing.pad_batch_images(
             imgs, (bucket.h * P, bucket.w * P), batch_size)
@@ -195,13 +212,12 @@ def extract_features(
 
     def consume(bucket: bucketing.Bucket, batch_items, prepared):
         padded, masks, extents, metas = prepared
-        k = fwd(jnp.asarray(padded), jnp.asarray(masks))
-        k = np.asarray(k, dtype=np.float32)
+        k = np.asarray(fwd(jnp.asarray(padded), jnp.asarray(masks)))  # fp16
         for i, (idx, rel, shape) in enumerate(metas):
             hp, wp = extents[i, 0] // P, extents[i, 1] // P
             ki = k[i].reshape(bucket.h, bucket.w, -1)[:hp, :wp].reshape(1, hp * wp, -1)
             out = {
-                "k": ki.astype(np.float16),
+                "k": ki,
                 "indices": np.asarray([idx]),
                 "file": rel,
                 "id": Path(rel).stem,
@@ -294,11 +310,12 @@ def extract_eigs(
         f = s.P if image_downsample_factor is None else image_downsample_factor
         return s.H_pad // f, s.W_pad // f
 
-    # Size scan: read each feature dict once for its grid shape only, keep
-    # paths (not tensors) so memory stays O(1) in dataset size.
+    # Size scan: read each feature dict's STRUCTURE only (mmap — tensor pages
+    # never fault in, 0.38 vs 0.60 ms/dict, scripts/profile_host_path.py),
+    # keep paths (not tensors) so memory stays O(1) in dataset size.
     pending = []
     for f in sorted(Path(features_dir).iterdir()):
-        d = load_pth(f)
+        d = load_pth_meta(f)
         # Derive the id from the listed filename with any extension
         # (reference pairs actual listed names, extract/extract.py:199-204).
         image_id = Path(d["file"]).stem
@@ -641,7 +658,7 @@ def extract_bbox_features(
     crops = []  # (img_idx, box_idx, crop HWC normalized)
     for i, bd in enumerate(_progress(bbox_list, "bbox crops")):
         rgb = load_image_rgb(_resolve_image_file(images_root, bd["id"]))
-        x = normalize_imagenet(rgb).transpose(1, 2, 0)
+        x = normalize_imagenet_hwc(rgb)
         for j, (xmin, ymin, xmax, ymax) in enumerate(bd["bboxes_original_resolution"]):
             crop = x[ymin:ymax, xmin:xmax]
             hp, wp = max(crop.shape[0] // P, 1), max(crop.shape[1] // P, 1)

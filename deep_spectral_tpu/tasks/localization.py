@@ -265,12 +265,12 @@ def discover_box(
     method: 'eigenseg' (spectral), 'lost', or 'dino_seg'.
     """
     from ..models.vit import extract_patch_keys
-    from ..utils.image_io import normalize_imagenet
+    from ..utils.image_io import normalize_imagenet_hwc
 
     H, W = image_rgb.shape[:2]
     P = patch_size
     hp, wp = H // P, W // P
-    x = normalize_imagenet(image_rgb).transpose(1, 2, 0)[None, : hp * P, : wp * P]
+    x = normalize_imagenet_hwc(image_rgb)[None, : hp * P, : wp * P]
     if method == "dino_seg":
         out = model.apply(params, jnp.asarray(x), want_attn=True,
                           n_intermediates=0, qkv_block=-1)
