@@ -30,6 +30,7 @@ STAGES = [
     "extract_crf_segmentations",
     "extract_single_region_segmentations",
     "vis_segmentations",
+    "vis_server",
 ]
 
 

@@ -859,6 +859,9 @@ def extract_crf_segmentations(
 
 # ------------------------------------------------------------- visualization
 
+from .vis_server import vis_server  # noqa: E402,F401  (CLI stage re-export)
+
+
 def vis_segmentations(
     images_list: str,
     images_root: str,

@@ -27,9 +27,14 @@ import jax.numpy as jnp
 V5E_PEAK_BF16 = 197e12
 
 
-def time_gemm(m, k, n, reps=3, n1=4, n2=16):
+def time_gemm(m, k, n, reps=3, n1=100, n2=1100):
     """ms per (m,k)@(k,n) bf16 GEMM: fori_loop-chained, two lengths
-    differenced, result fetched (the only honest sync on this tunnel)."""
+    differenced, result fetched (the only honest sync on this tunnel).
+
+    Single GEMMs at these shapes are 0.03-0.8 ms — far below tunnel jitter
+    (~ms) — so the differenced span must be hundreds of steps: the first
+    run of this script with a 12-step delta returned NEGATIVE times. The
+    1000-step delta puts every shape's span at 30-800 ms."""
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (m, k), jnp.bfloat16)
     b = jax.random.normal(key, (k, n), jnp.bfloat16)
@@ -73,6 +78,10 @@ def main():
     total_ms, total_fl = 0.0, 0.0
     for name, M, K, N in shapes:
         ms = time_gemm(M, K, N)
+        if ms <= 0:
+            raise SystemExit(f"{name}: non-positive differenced time "
+                             f"({ms:.3f} ms) — tunnel jitter exceeded the "
+                             f"chained span; raise n2 and rerun")
         fl = 2 * M * K * N
         tf = fl / (ms * 1e-3)
         total_ms += ms
