@@ -31,24 +31,29 @@ import jax.numpy as jnp
 V5E_PEAK_BF16 = 197e12
 
 
-def chained_ms(step, images, n1=2, n2=6, reps=3):
+def chained_ms(step, params, images, n1=2, n2=6, reps=3):
     """Device ms per step-call: fori_loop-chained program, one fetch, two
     loop lengths differenced (the honest harness on this tunnel —
-    block_until_ready can return before execution completes)."""
+    block_until_ready can return before execution completes).
+
+    `params` MUST be a jit argument, not a closure constant: closed-over
+    arrays are baked into the serialized program, and vitb8's ~170 MB of
+    bf16 weights exceed the remote-compile HTTP body limit (HTTP 413 —
+    vits16's 42 MB squeaked under it)."""
     @functools.partial(jax.jit, static_argnames="n")
-    def run(c, n):
-        return jax.lax.fori_loop(0, n, lambda i, c: step(c), c)
+    def run(p, c, n):
+        return jax.lax.fori_loop(0, n, lambda i, c: step(p, c), c)
 
     for n in (n1, n2):
-        run(images, n)
-    np.asarray(run(images, n1).ravel()[0])  # warm transport
+        run(params, images, n)
+    np.asarray(run(params, images, n1).ravel()[0])  # warm transport
     t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(run(images, n1).ravel()[0])
+        np.asarray(run(params, images, n1).ravel()[0])
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(run(images, n2).ravel()[0])
+        np.asarray(run(params, images, n2).ravel()[0])
         t2s.append(time.perf_counter() - t0)
     return (min(t2s) - min(t1s)) / (n2 - n1) * 1e3
 
@@ -109,11 +114,11 @@ def main():
     fwd_flops = B * (depth * (24 * T * D**2 + 4 * T**2 * D)
                      + 2 * N * D * (P * P * 3))
 
-    def fwd_step(c):
-        k = extract_patch_keys(model, params, c, token_mask=mask)
+    def fwd_step(p, c):
+        k = extract_patch_keys(model, p, c, token_mask=mask)
         return c + jnp.mean(k).astype(c.dtype) * 1e-6
 
-    ms = chained_ms(fwd_step, images)
+    ms = chained_ms(fwd_step, params, images)
     tf = fwd_flops / (ms * 1e-3)
     print(f"fwd-only {args.model} {S}px b{B}: {ms:7.2f} ms = "
           f"{B / ms * 1e3:6.1f} img/s  {tf / 1e12:5.1f} TFLOP/s "
@@ -121,16 +126,20 @@ def main():
 
     # ---- composite ----
     def make_step(slv):
-        def step(c):
-            k = extract_patch_keys(model, params, c, token_mask=mask)
-            feats = base + 0.02 * k.astype(jnp.float32)
+        # p = (vit params, structured base): base is ~88 MB f32 at vitb8
+        # shapes — as a closure constant it would also bloat the serialized
+        # program toward the remote-compile body limit.
+        def step(p, c):
+            vit_p, base_p = p
+            k = extract_patch_keys(model, vit_p, c, token_mask=mask)
+            feats = base_p + 0.02 * k.astype(jnp.float32)
             out = spectral_decompose_batched(feats, mask, K=K, solver=slv,
                                              return_residual=True)
             return c + jnp.mean(out[1]).astype(c.dtype) * 1e-6
         return step
 
     for slv in solvers:
-        ms = chained_ms(make_step(slv), images)
+        ms = chained_ms(make_step(slv), (params, base), images)
         print(f"composite {args.model} {S}px b{B} [{slv}]: {ms:7.1f} ms "
               f"= {B / ms * 1e3:6.1f} img/s/chip")
 
