@@ -27,37 +27,44 @@ import jax.numpy as jnp
 V5E_PEAK_BF16 = 197e12
 
 
-def time_gemm(m, k, n, reps=3, n1=100, n2=1100):
+def time_gemm(m, k, n, reps=3, n1=500, n2=8500):
     """ms per (m,k)@(k,n) bf16 GEMM: fori_loop-chained, two lengths
     differenced, result fetched (the only honest sync on this tunnel).
 
-    Single GEMMs at these shapes are 0.03-0.8 ms — far below tunnel jitter
-    (~ms) — so the differenced span must be hundreds of steps: the first
-    run of this script with a 12-step delta returned NEGATIVE times. The
-    1000-step delta puts every shape's span at 30-800 ms."""
+    Two traps, both hit by the first version of this script (which printed
+    NEGATIVE times and 400-800% of peak):
+    1. The per-step feedback must consume ALL of the GEMM output through a
+       NONLINEAR reduction. A slice (`out[:, :1]`) lets XLA narrow
+       dot(c,b)[:, :1] into dot(c, b[:, :1]) — a matvec — and a plain sum
+       is algebraically foldable into the operands; sum(out*out) is not.
+    2. The differenced span must dwarf tunnel jitter (tens of ms): the
+       8000-step delta puts every shape's span at 0.5-6 s."""
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (m, k), jnp.bfloat16)
     b = jax.random.normal(key, (k, n), jnp.bfloat16)
 
     @functools.partial(jax.jit, static_argnames="steps")
     def run(a, b, steps):
-        def body(_, c):
+        def body(_, carry):
+            c, s = carry
             out = c @ b
-            # Rescale back into (m, k) via a cheap slice-sum so the chain
-            # stays a pure GEMM stream with a data dependency.
-            return a + out[:, :1] * 1e-6
-        return jax.lax.fori_loop(0, steps, body, a)
+            s2 = jnp.sum((out * out).astype(jnp.float32))
+            # Re-inject a value-negligible but dataflow-real dependency so
+            # every GEMM waits on the previous reduction (sequential chain)
+            # while operand magnitudes stay constant across iterations.
+            return a + (s2 * 1e-30).astype(a.dtype), s + s2
+        return jax.lax.fori_loop(0, steps, body, (a, jnp.float32(0)))[1]
 
     for s in (n1, n2):
         run(a, b, s)
-    np.asarray(run(a, b, n1).ravel()[0])
+    np.asarray(run(a, b, n1))
     t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
-        np.asarray(run(a, b, n1).ravel()[0])
+        np.asarray(run(a, b, n1))
         t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        np.asarray(run(a, b, n2).ravel()[0])
+        np.asarray(run(a, b, n2))
         t2s.append(time.perf_counter() - t0)
     return (min(t2s) - min(t1s)) / (n2 - n1) * 1e3
 
