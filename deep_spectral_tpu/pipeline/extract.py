@@ -24,6 +24,7 @@ file exists, reference: extract/extract.py:77-79 et al.).
 from __future__ import annotations
 
 import sys
+from collections import deque
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from pathlib import Path
@@ -210,9 +211,16 @@ def extract_features(
         masks = bucketing.token_masks(extents, bucket, P)
         return padded, masks, extents, metas
 
-    def consume(bucket: bucketing.Bucket, batch_items, prepared):
-        padded, masks, extents, metas = prepared
-        k = np.asarray(fwd(jnp.asarray(padded), jnp.asarray(masks)))  # fp16
+    # Device pipelining: dispatch is async in JAX, so by deferring each
+    # batch's fetch until the NEXT batch has been dispatched, the (slow,
+    # ~15 MB/s on this tunnel) result download overlaps the next batch's
+    # upload + forward instead of serializing with them. One batch in
+    # flight costs ~50 MB device memory at b24/480px — noise vs 16 GB HBM.
+    inflight: deque = deque()
+
+    def flush_one():
+        dev_k, bucket, extents, metas = inflight.popleft()
+        k = np.asarray(dev_k)  # fp16
         for i, (idx, rel, shape) in enumerate(metas):
             hp, wp = extents[i, 0] // P, extents[i, 1] // P
             ki = k[i].reshape(bucket.h, bucket.w, -1)[:hp, :wp].reshape(1, hp * wp, -1)
@@ -228,9 +236,18 @@ def extract_features(
             writer.submit(save_pth, out, Path(output_dir) / f"{out['id']}.pth")
         done[0] += len(metas)
 
+    def consume(bucket: bucketing.Bucket, batch_items, prepared):
+        padded, masks, extents, metas = prepared
+        inflight.append((fwd(jnp.asarray(padded), jnp.asarray(masks)),
+                         bucket, extents, metas))
+        while len(inflight) > 1:
+            flush_one()
+
     bucketing.run_bucketed_prefetched(
         items, size_of, prepare, consume, batch_size=batch_size,
         granularity=bucket_granularity)
+    while inflight:
+        flush_one()
     writer.close()
     print(f"Saved {done[0]} features to {output_dir}")
 
@@ -341,15 +358,21 @@ def extract_eigs(
             s = get_image_sizes(d)
             D = d[which_features].shape[-1]
             if feats is None:
-                feats = np.zeros((B, bucket.tokens, D), np.float32)
-            fi = np.asarray(d[which_features], np.float32).reshape(-1, D)
+                # fp16 end-to-end to the device: it is the on-disk dtype of
+                # stage 1's "k", so shipping fp16 and casting to f32 ON
+                # device is bit-identical to the old f32 host cast for the
+                # (default) no-resize path — while halving the upload, the
+                # at-scale run's binding cost on this tunnel.
+                feats = np.zeros((B, bucket.tokens, D), np.float16)
+            fi = np.asarray(d[which_features]).reshape(-1, D)
             if (s.H_patch, s.W_patch) != (h_lr, w_lr):
                 # Bilinear upsample patch features to the lr grid
                 # (reference: extract/extract.py:184-188); torch-exact kernel.
                 fi = np.asarray(resize_bilinear(
-                    jnp.asarray(fi.reshape(s.H_patch, s.W_patch, D)),
+                    jnp.asarray(fi.reshape(s.H_patch, s.W_patch, D),
+                                jnp.float32),
                     (h_lr, w_lr))).reshape(-1, D)
-            grid = np.zeros((bucket.h, bucket.w, D), np.float32)
+            grid = np.zeros((bucket.h, bucket.w, D), np.float16)
             grid[:h_lr, :w_lr] = fi.reshape(h_lr, w_lr, D)
             feats[i] = grid.reshape(-1, D)
             extents[i] = (h_lr, w_lr)
@@ -362,6 +385,15 @@ def extract_eigs(
         masks = bucketing.grid_masks(extents, (bucket.h, bucket.w))
         return feats, imgs, masks, metas
 
+    # The stored "k" is fp16; ship it fp16 (half the upload) and widen to the
+    # solver's f32 on device. jit'd so the cast output lives on device.
+    widen = jax.jit(lambda x: x.astype(jnp.float32))
+
+    # One solve in flight (dispatch N+1 before fetching N): the eigenvector
+    # download overlaps the next batch's feature upload + solve. The
+    # under-convergence check below happens at flush (fetch) time.
+    inflight: deque = deque()
+
     def consume(bucket: bucketing.Bucket, batch_items, prepared):
         feats, imgs, masks, metas = prepared
         color_W = None
@@ -370,16 +402,22 @@ def extract_eigs(
                 lambda im, m: (knn_affinity if which_color_matrix == "knn"
                                else rw_affinity)(im, mask=m))
             color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
-        evals, evecs, res = solve_batched(
-            jnp.asarray(feats), jnp.asarray(masks), color_W,
+        out = solve_batched(
+            widen(jnp.asarray(feats)), jnp.asarray(masks), color_W,
             K=K, which_matrix=which_matrix, normalize=normalize,
             threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
             image_color_lambda=image_color_lambda, solver=solver,
             return_residual=True, eig_chunk=chunk,
         )
+        inflight.append((out, feats, color_W, masks, metas, bucket))
+        while len(inflight) > 1:
+            flush_one()
+
+    def flush_one():
+        out, feats, color_W, masks, metas, bucket = inflight.popleft()
         # np.array (not asarray): the per-image fallback below writes in place,
         # and asarray of a jax array yields a read-only view.
-        evals, evecs, res = np.array(evals), np.array(evecs), np.asarray(res)
+        evals, evecs, res = np.array(out[0]), np.array(out[1]), np.asarray(out[2])
         # Solver fallback, mirroring the reference's ARPACK shift-invert ->
         # plain-SM retry (extract/extract.py:227-234): if the fast iterative
         # solver produced non-finite values OR the chebyshev convergence
@@ -398,7 +436,8 @@ def extract_eigs(
                   f"image(s) in a batch; re-solving those with exact eigh")
             for i in bad:
                 ev_i, vec_i = solve_batched(
-                    jnp.asarray(feats[i:i + 1]), jnp.asarray(masks[i:i + 1]),
+                    jnp.asarray(feats[i:i + 1], jnp.float32),
+                    jnp.asarray(masks[i:i + 1]),
                     None if color_W is None else color_W[i:i + 1],
                     K=K, which_matrix=which_matrix, normalize=normalize,
                     threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
@@ -426,6 +465,8 @@ def extract_eigs(
     bucketing.run_bucketed_prefetched(
         pending, coarse_grid, prepare, consume,
         batch_size=batch_size, granularity=1)
+    while inflight:
+        flush_one()
     writer.close()
     print(f"Saved eigs to {output_dir}")
 
