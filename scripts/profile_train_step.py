@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--crop", type=int, default=224)
     ap.add_argument("--backbone", default="dino_vits16")
     ap.add_argument("--trace-dir", default="/tmp/train_trace")
+    ap.add_argument("--top-ops", type=int, default=0,
+                    help="also print the N biggest INDIVIDUAL device ops "
+                         "(un-merged names, e.g. copy.123) — for naming the "
+                         "specific copies/fusions behind a category")
     a = ap.parse_args()
 
     import jax
@@ -69,6 +73,8 @@ def main():
     tids = {(e["pid"], e["tid"]): e["args"].get("name", "") for e in ev
             if e.get("ph") == "M" and e.get("name") == "thread_name"}
     cat = collections.Counter()
+    ops = collections.Counter()
+    op_shapes = {}
     tot = 0
     for e in ev:
         if (e.get("ph") == "X" and "dur" in e
@@ -79,10 +85,21 @@ def main():
             if name.startswith("jit_"):
                 continue
             cat[re.sub(r"\.\d+$", "", name)] += e["dur"]
+            ops[name] += e["dur"]
+            args = e.get("args") or {}
+            for key in ("shape", "layout", "long_name", "tf_op"):
+                if args.get(key):
+                    op_shapes.setdefault(name, str(args[key])[:90])
+                    break
             tot += e["dur"]
     for k, v in cat.most_common(18):
         print(f"{v/n/1e3:9.2f} ms/step {100*v/max(tot,1):5.1f}%  {k[:70]}")
     print(f"device total {tot/n/1e3:.1f} ms/step")
+    if a.top_ops:
+        print(f"--- top {a.top_ops} individual ops ---")
+        for k, v in ops.most_common(a.top_ops):
+            print(f"{v/n/1e3:9.2f} ms/step  {k[:48]:48s} "
+                  f"{op_shapes.get(k, '')}")
 
 
 if __name__ == "__main__":

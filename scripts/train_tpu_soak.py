@@ -88,7 +88,7 @@ def main():
     total = time.time() - t0
     if ds_val is not None:
         t0e = time.time()
-        miou = SS.evaluate_model(state, ds_val, cfg.num_classes)
+        miou, _ = SS.evaluate_model(state, ds_val, cfg.num_classes)
         print(f"post-train bucketed eval ({len(ds_val)} imgs): "
               f"{time.time()-t0e:.1f}s warm, mIoU={miou:.4f}")
     # Steady state: time the last chunk explicitly via the metrics timestamps
