@@ -114,12 +114,24 @@ def main(argv=None):
 
     from deep_spectral_tpu.pipeline import extract as stages
 
+    # Backend warmup OUTSIDE the stage timings: a fresh process's first
+    # device round trip includes tunnel/backend init measured anywhere from
+    # 8 to 236 s across sessions — without this, that init lands inside
+    # stage 1's wall clock and dwarfs the thing being measured.
+    import jax
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    x = jnp.ones((500, 500))
+    np.asarray(x @ x)
+    warm = time.perf_counter() - t0
+    print(f"--- backend warmup (untimed): {warm:.1f}s", flush=True)
+
     features_dir = out / "features" / args.model
     eigs_dir = out / "eigs" / "laplacian"
 
     report = {"n_images": n, "model": args.model,
               "feature_batch_size": args.feature_batch_size,
-              "batch_size": args.batch_size}
+              "batch_size": args.batch_size, "warmup_sec": round(warm, 1)}
 
     print(f"=== at-scale run: {n} images ===", flush=True)
     t0 = time.perf_counter()
