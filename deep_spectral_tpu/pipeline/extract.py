@@ -23,9 +23,13 @@ file exists, reference: extract/extract.py:77-79 et al.).
 """
 from __future__ import annotations
 
+import os
 import sys
-from collections import deque
+import threading
+import time
+from collections import defaultdict, deque
 from concurrent.futures import ThreadPoolExecutor
+from contextlib import contextmanager
 from functools import partial
 from pathlib import Path
 from typing import Optional, Tuple
@@ -95,6 +99,62 @@ def get_paired_input_files(path1, path2) -> list:
     f1, f2 = files(path1), files(path2)
     assert len(f1) == len(f2), f"{len(f1)} vs {len(f2)} paired files"
     return list(enumerate(zip(f1, f2)))
+
+
+def _inflight_depth(default: int = 1) -> int:
+    """How many dispatched-but-unfetched batches stages 1/2 keep in flight.
+
+    DSS_TPU_INFLIGHT=0 restores the pre-r5 fetch-immediately behavior (the
+    result download serializes with the next batch's upload + compute);
+    1 (default) overlaps them; >1 buys nothing on a single stream in theory
+    but is exposed for the same-session A/B (scripts/device_session_r5d.sh).
+    """
+    return max(0, int(os.environ.get("DSS_TPU_INFLIGHT", default)))
+
+
+class _StageTiming:
+    """Wall-clock split of a stage loop, enabled by DSS_TPU_STAGE_TIMING=1.
+
+    Phases measured from the REAL stage code path (not a proxy harness):
+      prepare  — host decode/unpickle/pad, in POOL-THREAD seconds (runs
+                 overlapped with the device step; > wall is expected)
+      dispatch — main thread: host->device upload + async dispatch
+      fetch    — main thread: wait for compute + result download
+    Main-thread residual (wall - dispatch - fetch) ~= prepare stalls +
+    bookkeeping. Zero overhead when disabled.
+    """
+
+    def __init__(self, name: str):
+        self.enabled = os.environ.get("DSS_TPU_STAGE_TIMING", "0") not in ("", "0")
+        self.name = name
+        self.t0 = time.perf_counter()
+        self.acc: dict = defaultdict(float)
+        self._lock = threading.Lock()
+
+    @contextmanager
+    def phase(self, key: str):
+        if not self.enabled:
+            yield
+            return
+        t = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t
+            with self._lock:
+                self.acc[key] += dt
+
+    def report(self, n_items: int) -> None:
+        if not self.enabled:
+            return
+        wall = time.perf_counter() - self.t0
+        n = max(n_items, 1)
+        parts = [f"{k}={v:.1f}s ({1000 * v / n:.1f} ms/img)"
+                 for k, v in sorted(self.acc.items())]
+        resid = wall - self.acc.get("dispatch", 0.0) - self.acc.get("fetch", 0.0)
+        print(f"[stage-timing] {self.name}: wall={wall:.1f}s over {n_items} "
+              f"img | " + " | ".join(parts) +
+              f" | main-thread residual={resid:.1f}s", flush=True)
 
 
 class _AsyncWriter:
@@ -195,21 +255,24 @@ def extract_features(
     items = shard_across_processes(items)
     done = [0]
 
+    timing = _StageTiming("extract_features")
+
     def prepare(bucket: bucketing.Bucket, batch_items):
         """Host side: decode + floor-crop + pad, all uint8 (runs in the
         prefetch pool, overlapped with the device forward; normalization
         happens on device — see fwd)."""
-        imgs, metas = [], []
-        for idx, path in batch_items:
-            rgb = load_image_rgb(path)
-            H, W = rgb.shape[:2]
-            H_pad, W_pad = (H // P) * P, (W // P) * P
-            imgs.append(rgb[:H_pad, :W_pad])
-            metas.append((idx, rels[idx], (1, 3, H, W)))
-        padded, extents = bucketing.pad_batch_images(
-            imgs, (bucket.h * P, bucket.w * P), batch_size)
-        masks = bucketing.token_masks(extents, bucket, P)
-        return padded, masks, extents, metas
+        with timing.phase("prepare"):
+            imgs, metas = [], []
+            for idx, path in batch_items:
+                rgb = load_image_rgb(path)
+                H, W = rgb.shape[:2]
+                H_pad, W_pad = (H // P) * P, (W // P) * P
+                imgs.append(rgb[:H_pad, :W_pad])
+                metas.append((idx, rels[idx], (1, 3, H, W)))
+            padded, extents = bucketing.pad_batch_images(
+                imgs, (bucket.h * P, bucket.w * P), batch_size)
+            masks = bucketing.token_masks(extents, bucket, P)
+            return padded, masks, extents, metas
 
     # Device pipelining: dispatch is async in JAX, so by deferring each
     # batch's fetch until the NEXT batch has been dispatched, the (slow,
@@ -217,10 +280,12 @@ def extract_features(
     # upload + forward instead of serializing with them. One batch in
     # flight costs ~50 MB device memory at b24/480px — noise vs 16 GB HBM.
     inflight: deque = deque()
+    depth = _inflight_depth()
 
     def flush_one():
         dev_k, bucket, extents, metas = inflight.popleft()
-        k = np.asarray(dev_k)  # fp16
+        with timing.phase("fetch"):
+            k = np.asarray(dev_k)  # fp16
         for i, (idx, rel, shape) in enumerate(metas):
             hp, wp = extents[i, 0] // P, extents[i, 1] // P
             ki = k[i].reshape(bucket.h, bucket.w, -1)[:hp, :wp].reshape(1, hp * wp, -1)
@@ -238,9 +303,10 @@ def extract_features(
 
     def consume(bucket: bucketing.Bucket, batch_items, prepared):
         padded, masks, extents, metas = prepared
-        inflight.append((fwd(jnp.asarray(padded), jnp.asarray(masks)),
-                         bucket, extents, metas))
-        while len(inflight) > 1:
+        with timing.phase("dispatch"):
+            inflight.append((fwd(jnp.asarray(padded), jnp.asarray(masks)),
+                             bucket, extents, metas))
+        while len(inflight) > depth:
             flush_one()
 
     bucketing.run_bucketed_prefetched(
@@ -249,6 +315,7 @@ def extract_features(
     while inflight:
         flush_one()
     writer.close()
+    timing.report(done[0])
     print(f"Saved {done[0]} features to {output_dir}")
 
 
@@ -343,10 +410,15 @@ def extract_eigs(
     pending = shard_across_processes(pending)
 
     writer = _AsyncWriter()
+    timing = _StageTiming("extract_eigs")
 
     def prepare(bucket: bucketing.Bucket, batch_items):
         """Host side: reload feature dicts, upsample to the lr grid, pad, and
         load/resize color images (prefetch pool, overlapped with the solve)."""
+        with timing.phase("prepare"):
+            return _prepare_inner(bucket, batch_items)
+
+    def _prepare_inner(bucket: bucketing.Bucket, batch_items):
         B = batch_size
         feats = None
         imgs = (np.zeros((B, bucket.h, bucket.w, 3), np.float32)
@@ -393,31 +465,35 @@ def extract_eigs(
     # download overlaps the next batch's feature upload + solve. The
     # under-convergence check below happens at flush (fetch) time.
     inflight: deque = deque()
+    depth = _inflight_depth()
 
     def consume(bucket: bucketing.Bucket, batch_items, prepared):
         feats, imgs, masks, metas = prepared
-        color_W = None
-        if imgs is not None:
-            aff_batched = jax.vmap(
-                lambda im, m: (knn_affinity if which_color_matrix == "knn"
-                               else rw_affinity)(im, mask=m))
-            color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
-        out = solve_batched(
-            widen(jnp.asarray(feats)), jnp.asarray(masks), color_W,
-            K=K, which_matrix=which_matrix, normalize=normalize,
-            threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
-            image_color_lambda=image_color_lambda, solver=solver,
-            return_residual=True, eig_chunk=chunk,
-        )
-        inflight.append((out, feats, color_W, masks, metas, bucket))
-        while len(inflight) > 1:
+        with timing.phase("dispatch"):
+            color_W = None
+            if imgs is not None:
+                aff_batched = jax.vmap(
+                    lambda im, m: (knn_affinity if which_color_matrix == "knn"
+                                   else rw_affinity)(im, mask=m))
+                color_W = aff_batched(jnp.asarray(imgs), jnp.asarray(masks))
+            out = solve_batched(
+                widen(jnp.asarray(feats)), jnp.asarray(masks), color_W,
+                K=K, which_matrix=which_matrix, normalize=normalize,
+                threshold_at_zero=threshold_at_zero, lapnorm=lapnorm,
+                image_color_lambda=image_color_lambda, solver=solver,
+                return_residual=True, eig_chunk=chunk,
+            )
+            inflight.append((out, feats, color_W, masks, metas, bucket))
+        while len(inflight) > depth:
             flush_one()
 
     def flush_one():
         out, feats, color_W, masks, metas, bucket = inflight.popleft()
         # np.array (not asarray): the per-image fallback below writes in place,
         # and asarray of a jax array yields a read-only view.
-        evals, evecs, res = np.array(out[0]), np.array(out[1]), np.asarray(out[2])
+        with timing.phase("fetch"):
+            evals, evecs, res = (np.array(out[0]), np.array(out[1]),
+                                 np.asarray(out[2]))
         # Solver fallback, mirroring the reference's ARPACK shift-invert ->
         # plain-SM retry (extract/extract.py:227-234): if the fast iterative
         # solver produced non-finite values OR the chebyshev convergence
@@ -468,6 +544,7 @@ def extract_eigs(
     while inflight:
         flush_one()
     writer.close()
+    timing.report(len(pending))
     print(f"Saved eigs to {output_dir}")
 
 

@@ -47,4 +47,8 @@ echo "--- [3] train-step ceiling: TPU-side cost model ---"
 timeout 3600 python -u scripts/train_step_ceiling.py --platform device \
     --batch 96 --measured-ms 38.4 || echo "device cost_analysis unavailable"
 
+echo "--- [4] train soak rerun: 1000 steps bs96 + eval (eval-unpack fix) ---"
+timeout 10800 python -u scripts/train_tpu_soak.py --steps 1000 --batch 96 \
+    --eval-every 500 || echo "soak failed"
+
 echo "=== done $(date -u +%FT%TZ) ==="

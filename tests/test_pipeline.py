@@ -398,3 +398,31 @@ def test_cli_parses_reference_flags(pipeline_dirs, tmp_path):
         "--multiprocessing", "8",
     ])
     assert len(list(out.iterdir())) == N_IMAGES
+
+
+@pytest.mark.parametrize("depth", ["0", "2"])
+def test_inflight_depth_and_stage_timing(pipeline_dirs, tmp_path, monkeypatch,
+                                         capsys, depth):
+    """DSS_TPU_INFLIGHT (device-pipelining depth A/B knob) must not change any
+    output byte-for-byte vs the default depth-1 run, and DSS_TPU_STAGE_TIMING=1
+    must print the prepare/dispatch/fetch wall split from the real stage path
+    (scripts/device_session_r5d.sh relies on both)."""
+    monkeypatch.setenv("DSS_TPU_INFLIGHT", depth)
+    monkeypatch.setenv("DSS_TPU_STAGE_TIMING", "1")
+    feats_dir = tmp_path / "features"
+    stages.extract_features(
+        images_list=pipeline_dirs["images_list"],
+        images_root=pipeline_dirs["images_root"],
+        model_name=MODEL, batch_size=2,
+        output_dir=str(feats_dir),
+    )
+    out = capsys.readouterr().out
+    assert "[stage-timing] extract_features:" in out
+    for key in ("prepare=", "dispatch=", "fetch="):
+        assert key in out
+    ref_files = sorted(Path(pipeline_dirs["features"]).iterdir())
+    got_files = sorted(feats_dir.iterdir())
+    assert [f.name for f in got_files] == [f.name for f in ref_files]
+    for rf, gf in zip(ref_files, got_files):
+        r, g = load_pth(rf), load_pth(gf)
+        np.testing.assert_array_equal(np.asarray(r["k"]), np.asarray(g["k"]))
