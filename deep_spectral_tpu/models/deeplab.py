@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from .vit import ViTConfig, VisionTransformer
-from ..ops.resize import resize_bilinear
+from ..ops.resize import resize_bilinear, resize_bilinear_mm
 
 
 class ConvBNReLU(nn.Module):
@@ -150,6 +150,12 @@ class DeepLabViT(nn.Module):
         logits = head_cls(self.num_classes, name="head")(low, out, train, m)
         if return_grid:
             return logits
+        if train:
+            # Matmul-form upsample: same math, but no layout-transpose copies
+            # under autodiff (3.3 ms/step of the b96 train step — see
+            # ops/resize.resize_bilinear_mm). Eval keeps the torch-bit-exact
+            # gather kernel.
+            return resize_bilinear_mm(logits, (H, W))
         return resize_bilinear(logits, (H, W))
 
 
@@ -175,6 +181,8 @@ class DeepLabResNet(nn.Module):
         head_cls = DeepLabHeadV3Plus if self.head == "deeplabv3plus" else DeepLabHead
         logits = head_cls(self.num_classes, rates, name="head")(
             feats["layer1"], feats["layer4"], train)
+        if train:
+            return resize_bilinear_mm(logits, (H, W))
         return resize_bilinear(logits, (H, W))
 
 

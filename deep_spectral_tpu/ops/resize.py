@@ -65,6 +65,48 @@ def resize_bilinear(x: jax.Array, out_hw: tuple[int, int], *, channels_last: boo
     return x
 
 
+def _linear_resize_matrix(out_size: int, in_size: int) -> jax.Array:
+    """(out_size, in_size) f32 interpolation matrix R with R @ x ==
+    _resize_axis_linear(x): two nonzeros per row ((1-frac) at i0, frac at i1,
+    summed when i0 == i1 at clamped edges)."""
+    i0, i1, frac = _linear_weights(out_size, in_size)
+    rows = jnp.arange(out_size)
+    R = jnp.zeros((out_size, in_size), jnp.float32)
+    R = R.at[rows, i0].add(1.0 - frac)
+    R = R.at[rows, i1].add(frac)
+    return R
+
+
+def resize_bilinear_mm(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear upsample as two MXU matmuls: einsum(R_h, einsum(R_w, x)).
+
+    Numerically ~equal to `resize_bilinear` (exactly equal where the matmul
+    is true f32; on TPU HIGHEST-precision is ~1e-7 relative) but a far
+    better TPU program for LARGE channel-last tensors under autodiff: the
+    gather formulation materializes layout-transposed intermediates — on the
+    b96 crop224 train step the two (224,96,224,21) copies alone cost
+    3.3 ms/step (scripts/profile_train_step.py --top-ops, r5d session) —
+    while the matmul form writes the upsampled tensor once and its
+    transpose (the backward pass) is again a matmul. FLOPs are negligible
+    (2*H_out*H_in*B*W*C ~ 3 GFLOP vs the step's 1207). Use for the
+    TRAIN-TIME logits upsample; keep `resize_bilinear` for torch-bit-exact
+    inference/pipeline paths.
+
+    x: (B, H, W, C) -> (B, out_h, out_w, C).
+    """
+    B, H, W, C = x.shape
+    out_h, out_w = out_hw
+    x = x.astype(jnp.float32)
+    hp = jax.lax.Precision.HIGHEST  # r3 trap: default f32 dot = one bf16 pass
+    if W != out_w:
+        Rw = _linear_resize_matrix(out_w, W)
+        x = jnp.einsum("Ww,bhwc->bhWc", Rw, x, precision=hp)
+    if H != out_h:
+        Rh = _linear_resize_matrix(out_h, H)
+        x = jnp.einsum("Hh,bhWc->bHWc", Rh, x, precision=hp)
+    return x
+
+
 def _cubic_kernel(t: jax.Array, a: float = -0.75) -> jax.Array:
     """torch's bicubic convolution kernel (a = -0.75)."""
     at = jnp.abs(t)

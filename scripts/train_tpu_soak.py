@@ -101,8 +101,10 @@ def main():
     print(f"loss: step {first[0]} -> {first[1]:.4f}; "
           f"step {last[0]} -> {last[1]:.4f}")
     assert np.isfinite(last[1])
-    tail = [v for s, v in losses if s >= a.steps * 0.8]
-    head = [v for s, v in losses if s <= a.steps * 0.2]
+    # The loss log is sampled every log_every steps; at short --steps the
+    # 20% windows can be empty — fall back to the endpoint values.
+    tail = [v for s, v in losses if s >= a.steps * 0.8] or [last[1]]
+    head = [v for s, v in losses if s <= a.steps * 0.2] or [first[1]]
     print(f"mean loss first 20%: {np.mean(head):.4f}  last 20%: "
           f"{np.mean(tail):.4f}")
     # steady-state step time: time 30 more steps on the warm program
