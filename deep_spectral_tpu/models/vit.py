@@ -305,11 +305,25 @@ def interpolate_pos_embed(pos_embed: jax.Array, grid: int, h: int, w: int) -> ja
 
 
 def init_vit_params(name_or_cfg, seed: int = 0, compute_dtype=jnp.float32):
-    """Deterministically initialize ViT params (for tests / before loading weights)."""
+    """Deterministically initialize ViT params (for tests / before loading weights).
+
+    Flax eager init dispatches hundreds of tiny ops; through a remote backend
+    (the axon tunnel) each op is an RPC, and a random init measured 45-50 s of
+    fixed wall per call (r5d session). Run the init on the host CPU backend and
+    ship the finished pytree to the default device in one bulk transfer.
+    """
     cfg = get_model_config(name_or_cfg) if isinstance(name_or_cfg, str) else name_or_cfg
     model = VisionTransformer(cfg, compute_dtype)
-    dummy = jnp.zeros((1, cfg.patch_size * 2, cfg.patch_size * 2, 3), jnp.float32)
-    params = model.init(jax.random.PRNGKey(seed), dummy)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    default = jax.devices()[0]
+    with jax.default_device(cpu if cpu is not None else default):
+        dummy = jnp.zeros((1, cfg.patch_size * 2, cfg.patch_size * 2, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(seed), dummy)
+    if cpu is not None and default.platform != "cpu":
+        params = jax.device_put(params, default)
     return model, params
 
 

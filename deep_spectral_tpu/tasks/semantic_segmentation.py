@@ -413,9 +413,20 @@ def build_model(cfg: TrainConfig):
 
 def create_train_state(cfg: TrainConfig, model: DeepLabViT,
                        backbone_params: Optional[dict] = None) -> TrainState:
-    rng = jax.random.PRNGKey(cfg.seed)
-    dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
-    variables = model.init(rng, dummy, train=False)
+    # Eager flax init through a remote backend costs ~45-50 s of per-op RPCs
+    # (r5d measurement on the ViT init); run it on the host CPU backend and
+    # ship the finished pytree to the default device in one bulk transfer.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    default = jax.devices()[0]
+    with jax.default_device(cpu if cpu is not None else default):
+        rng = jax.random.PRNGKey(cfg.seed)
+        dummy = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), jnp.float32)
+        variables = model.init(rng, dummy, train=False)
+    if cpu is not None and default.platform != "cpu":
+        variables = jax.device_put(variables, default)
     params = variables["params"]
     if backbone_params is not None:
         params = dict(params)
